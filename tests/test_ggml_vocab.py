@@ -1,0 +1,75 @@
+"""GGML round-trip, vocabulary, and language-table tests."""
+
+import numpy as np
+import pytest
+
+from tests.helpers import TINY_TEST_DIMS, make_random_checkpoint, make_vocab_words
+from whisper_tpu.ggml import load_checkpoint
+from whisper_tpu.languages import find_language_id, language_code, supported_languages
+from whisper_tpu.vocab import Vocabulary
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ggml") / "tiny-test.bin")
+    weights = make_random_checkpoint(path, TINY_TEST_DIMS, seed=0)
+    return path, weights
+
+
+def test_roundtrip(ckpt):
+    path, weights = ckpt
+    seen = []
+    cp = load_checkpoint(path, progress=seen.append)
+    assert cp.dims == TINY_TEST_DIMS
+    assert cp.filters.data.shape == (80, 201)
+    assert set(cp.tensors) == set(weights)
+    assert seen and seen[-1] == pytest.approx(1.0)
+    # f16 quantization error only for >=2-D tensors; 1-D stay exact f32
+    for name, ref in weights.items():
+        got = cp.tensors[name].data.astype(np.float32)
+        assert got.shape == ref.shape, name
+        tol = 2e-3 if ref.ndim >= 2 else 0.0
+        assert np.max(np.abs(got - ref)) <= tol, name
+    # ne order is reversed numpy shape
+    t = cp.tensors["encoder.conv1.weight"]
+    assert t.ne == (3, TINY_TEST_DIMS.n_mels, TINY_TEST_DIMS.n_audio_state)
+
+
+def test_vocab_specials_english():
+    v = Vocabulary(make_vocab_words(51_864), 51_864)
+    assert (v.token_eot, v.token_sot, v.token_beg) == (50_256, 50_257, 50_363)
+    assert not v.multilingual
+    assert len(v) == 51_864
+    assert v.bytes(v.token_beg) == b"[_BEG_]"
+    assert v.bytes(v.token_beg + 50) == b"[_TT_50]"
+    assert v.bytes(v.token_eot) == b"[_EOT_]"
+
+
+def test_vocab_specials_multilingual():
+    v = Vocabulary(make_vocab_words(51_865), 51_865)
+    assert v.multilingual
+    assert (v.token_eot, v.token_sot, v.token_beg) == (50_257, 50_258, 50_364)
+    assert (v.token_translate, v.token_transcribe) == (50_358, 50_359)
+
+
+def test_tokenize_roundtrip():
+    v = Vocabulary(make_vocab_words(51_864), 51_864)
+    ids = v.tokenize("hello world")
+    assert ids, "tokenizer produced nothing"
+    assert v.decode_text(ids) == "hello world"
+
+
+def test_timestamp_tokens():
+    v = Vocabulary(make_vocab_words(51_864), 51_864)
+    assert v.timestamp_token(0.0) == v.token_beg
+    assert v.timestamp_token(1.0) == v.token_beg + 50
+    assert v.timestamp_seconds(v.token_beg + 100) == pytest.approx(2.0)
+
+
+def test_languages():
+    assert find_language_id("en") == 0
+    assert find_language_id("english") == 0
+    assert find_language_id("de") == 2
+    assert find_language_id("xx") == -1
+    assert language_code(1) == "zh"
+    assert len(supported_languages()) == 99

@@ -1,0 +1,66 @@
+"""Mel front-end golden tests vs transformers' WhisperFeatureExtractor.
+
+The extractor implements OpenAI whisper's exact log-mel (reflect-pad,
+center=True); our "openai" mode must match it to float tolerance. The
+"reference" mode reproduces whisper.cpp/Const-me framing (SURVEY.md §2.4).
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.features import LogMelSpectrogram, mel_filter_bank
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(42)
+    t = np.arange(16_000 * 30) / 16_000.0
+    sig = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(t.shape)
+    return sig.astype(np.float32)
+
+
+def test_filterbank_matches_transformers():
+    from transformers.audio_utils import mel_filter_bank as hf_mel
+
+    ours = mel_filter_bank(n_mels=80, n_fft=400, sample_rate=16_000)
+    theirs = hf_mel(
+        num_frequency_bins=201,
+        num_mel_filters=80,
+        min_frequency=0.0,
+        max_frequency=8000.0,
+        sampling_rate=16_000,
+        norm="slaney",
+        mel_scale="slaney",
+    ).T  # transformers returns [n_bins, n_mels]
+    np.testing.assert_allclose(ours, theirs, atol=1e-7)
+
+
+def test_log_mel_matches_transformers(audio):
+    from transformers import WhisperFeatureExtractor
+
+    fe = WhisperFeatureExtractor()
+    ref = fe(audio, sampling_rate=16_000, return_tensors="np")["input_features"][0]
+
+    mel = LogMelSpectrogram(mel_filter_bank(), mode="openai")
+    ours = np.asarray(mel(audio))
+    assert ours.shape == ref.shape == (80, 3000)
+    assert np.max(np.abs(ours - ref)) < 2e-4
+
+
+def test_reference_mode_shapes(audio):
+    mel = LogMelSpectrogram(mel_filter_bank(), mode="reference")
+    out = np.asarray(mel(audio))
+    assert out.shape == (80, 3000)
+    assert np.isfinite(out).all()
+    # normalized range: (max+4)/4 >= out > (max-4)/4
+    assert out.max() <= (out.max() * 4 - 4 + 8) / 4 + 1  # sanity only
+
+
+def test_normalization_masking():
+    from whisper_tpu.features.mel import normalize_log_mel
+
+    lm = np.zeros((4, 10), np.float32)
+    lm[:, :5] = -2.0
+    out = np.asarray(normalize_log_mel(lm, valid_frames=5))
+    assert (out[:, 5:] == 0).all()
+    assert (out[:, :5] != 0).all()
