@@ -7,15 +7,19 @@ happen in bench.py, not in unit tests.
 
 import os
 
-# Must be set before jax is imported anywhere. Overwrite (not setdefault):
-# the driver environment pins JAX_PLATFORMS to the TPU tunnel, but unit tests
-# always run on the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# This image's jax build force-appends the "axon" TPU platform to
+# jax_platforms at import, ignoring JAX_PLATFORMS — override it explicitly or
+# every unit test silently runs through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,137 @@
+"""Text decoder with preallocated self-attention KV cache.
+
+Behavioral spec from the reference decodeLayer/decode
+(WhisperContext.cpp:407-576,578-639):
+  - embeddings: token_embedding[ids] + positional_embedding[n_past..]
+    (the addRows shader, MlContext.cpp:588-618)
+  - masked self-attention writes this step's K/V into the per-layer cache at
+    offset n_past, then attends over the first n_past+S entries
+  - cross-attention reads the precomputed, pre-scaled kvCross
+  - logits = ln(x) @ token_embedding^T
+
+TPU-native differences: the cache is a single stacked [L, B, C, H, Dh] pair
+updated via ``lax.dynamic_update_slice`` inside the layer scan, shapes are
+static (C = n_text_ctx), and the whole step is jit-compatible so the token
+loop can live on device (no per-token host sync — the reference's central
+bottleneck, WhisperContext.cpp:634-639).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.hparams import ModelDims
+from whisper_tpu.model.layers import (
+    attention,
+    dense,
+    layer_norm,
+    gelu,
+    merge_heads,
+    qk_scale,
+    split_heads,
+)
+
+
+class SelfKV(NamedTuple):
+    """Preallocated self-attention cache (KeyValueBuffers.h:7-53 analogue)."""
+
+    k: jax.Array  # [L, B, C, H, Dh]
+    v: jax.Array  # [L, B, C, H, Dh]
+
+
+def init_self_kv(
+    dims: ModelDims, batch: int, dtype=jnp.bfloat16, cache_len: int | None = None
+) -> SelfKV:
+    shape = (
+        dims.n_text_layer,
+        batch,
+        cache_len or dims.n_text_ctx,
+        dims.n_text_head,
+        dims.n_text_state // dims.n_text_head,
+    )
+    return SelfKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _decoder_block(
+    x, blk, kv, n_past, xk, xv, n_head, compute_dtype
+):
+    """One decoder block. x [B,S,d]; kv ([B,C,H,Dh], [B,C,H,Dh]);
+    xk/xv [B,Sx,H,Dh]. Returns (x, new_kv)."""
+    b, s, d = x.shape
+    cache_len = kv[0].shape[1]
+    scale = qk_scale(d // n_head)
+
+    # --- masked self-attention with KV append ---
+    h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(compute_dtype)
+    q = split_heads(dense(h, blk["q_w"], blk["q_b"]) * scale, n_head).astype(compute_dtype)
+    k_new = split_heads(dense(h, blk["k_w"]) * scale, n_head).astype(compute_dtype)
+    v_new = split_heads(dense(h, blk["v_w"], blk["v_b"]), n_head).astype(compute_dtype)
+
+    k_cache = jax.lax.dynamic_update_slice(kv[0], k_new, (0, n_past, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(kv[1], v_new, (0, n_past, 0, 0))
+
+    # query row i (global position n_past+i) may attend cache slots <= n_past+i
+    key_idx = jnp.arange(cache_len)[None, :]              # [1, C]
+    q_pos = n_past + jnp.arange(s)[:, None]               # [S, 1]
+    mask = (key_idx <= q_pos)[None, None, :, :]           # [1, 1, S, C]
+    att = attention(q, k_cache, v_cache, mask=mask, compute_dtype=compute_dtype)
+    x = x + dense(merge_heads(att).astype(compute_dtype), blk["o_w"], blk["o_b"]).astype(compute_dtype)
+
+    # --- cross-attention over precomputed (pre-scaled) kvCross ---
+    h = layer_norm(x, blk["x_ln_w"], blk["x_ln_b"]).astype(compute_dtype)
+    q = split_heads(dense(h, blk["xq_w"], blk["xq_b"]) * scale, n_head).astype(compute_dtype)
+    att = attention(q, xk, xv, compute_dtype=compute_dtype)
+    x = x + dense(merge_heads(att).astype(compute_dtype), blk["xo_w"], blk["xo_b"]).astype(compute_dtype)
+
+    # --- MLP ---
+    h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]).astype(compute_dtype)
+    h = gelu(dense(h, blk["fc1_w"], blk["fc1_b"])).astype(compute_dtype)
+    x = x + dense(h, blk["fc2_w"], blk["fc2_b"]).astype(compute_dtype)
+    return x, (k_cache, v_cache)
+
+
+def decode_step(
+    params,
+    dims: ModelDims,
+    tokens: jax.Array,        # [B, S] int32
+    n_past: jax.Array,        # scalar int32 (dynamic)
+    self_kv: SelfKV,          # [L, B, C, H, Dh] x2
+    cross_kv: tuple[jax.Array, jax.Array],  # [L, B, Sx, H, Dh] x2
+    compute_dtype=jnp.bfloat16,
+    logits_last_only: bool = True,
+):
+    """Run the decoder on S tokens at positions n_past..n_past+S-1.
+
+    Returns (logits, new_self_kv): logits [B, n_vocab] f32 when
+    ``logits_last_only`` else [B, S, n_vocab].
+    """
+    dec = params["dec"]
+    b, s = tokens.shape
+
+    pos = jax.lax.dynamic_slice_in_dim(dec["pos"], n_past, s, axis=0)
+    x = (dec["tok"][tokens] + pos).astype(compute_dtype)  # [B, S, d]
+
+    def body(carry, layer):
+        x = carry
+        blk, kv_k, kv_v, xk, xv = layer
+        x, (nk, nv) = _decoder_block(
+            x, blk, (kv_k, kv_v), n_past, xk, xv, dims.n_text_head, compute_dtype
+        )
+        return x, (nk, nv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (dec["blocks"], self_kv.k, self_kv.v, cross_kv[0], cross_kv[1])
+    )
+
+    x = layer_norm(x, dec["ln_w"], dec["ln_b"])  # [B, S, d] f32
+    if logits_last_only:
+        x = x[:, -1]
+    logits = jnp.dot(
+        x.astype(compute_dtype),
+        dec["tok"].T.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, SelfKV(new_k, new_v)

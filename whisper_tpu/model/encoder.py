@@ -1,0 +1,111 @@
+"""Audio encoder: conv stem + GELU + positional add, N pre-LN transformer
+blocks under ``lax.scan``, final layernorm, and cross-attention K/V
+precompute.
+
+Behavioral spec from the reference:
+  - conv stem: conv1d(k=3,s=1,p=1) -> GELU -> conv1d(k=3,s=2,p=1) -> GELU ->
+    + positional embedding (WhisperContext.cpp:138-156 convolutionAndGelu)
+  - block: x += attn(ln(x)); x += mlp(ln(x)) with GELU MLP
+    (WhisperContext.cpp:158-289 encodeLayer)
+  - after ln_post, cross-attention K (pre-scaled by (d/h)^-0.25) and V are
+    computed once per window for ALL decoder layers
+    (WhisperContext.cpp:344-389) — here they live as a stacked
+    [L, B, S, H, Dh] pair that the decoder treats as read-only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.hparams import ModelDims
+from whisper_tpu.model.layers import (
+    attention,
+    dense,
+    gelu,
+    layer_norm,
+    merge_heads,
+    qk_scale,
+    split_heads,
+)
+
+
+def _conv_stem(enc, mel, compute_dtype):
+    """mel [B, n_mels, 2*T] -> [B, T, d] (channel-last convs on the MXU)."""
+    x = mel.astype(compute_dtype).transpose(0, 2, 1)  # [B, 2T, n_mels]
+    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv1_w"].shape, ("NHC", "HIO", "NHC"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1_w"].astype(compute_dtype),
+        window_strides=(1,), padding=((1, 1),), dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    x = gelu(x + enc["conv1_b"]).astype(compute_dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv2_w"].shape, ("NHC", "HIO", "NHC"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"].astype(compute_dtype),
+        window_strides=(2,), padding=((1, 1),), dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return gelu(x + enc["conv2_b"])  # f32 [B, T, d]
+
+
+def _encoder_block(x, blk, n_head, compute_dtype):
+    """One pre-LN encoder block. x: [B, T, d] compute_dtype."""
+    scale = qk_scale(x.shape[-1] // n_head)
+    h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(compute_dtype)
+    q = split_heads(dense(h, blk["q_w"], blk["q_b"]) * scale, n_head).astype(compute_dtype)
+    k = split_heads(dense(h, blk["k_w"]) * scale, n_head).astype(compute_dtype)
+    v = split_heads(dense(h, blk["v_w"], blk["v_b"]), n_head).astype(compute_dtype)
+    att = merge_heads(attention(q, k, v, compute_dtype=compute_dtype)).astype(compute_dtype)
+    x = x + dense(att, blk["o_w"], blk["o_b"]).astype(compute_dtype)
+
+    h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]).astype(compute_dtype)
+    h = gelu(dense(h, blk["fc1_w"], blk["fc1_b"])).astype(compute_dtype)
+    x = x + dense(h, blk["fc2_w"], blk["fc2_b"]).astype(compute_dtype)
+    return x
+
+
+def encode(
+    params,
+    dims: ModelDims,
+    mel: jax.Array,          # [B, n_mels, 2*audio_ctx]
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Full encoder forward -> audio features [B, audio_ctx, d] (f32).
+
+    ``audio_ctx`` is implied by the mel window length (the sFullParams
+    audio_ctx override shrinks the window, reference ContextImpl.cpp:24,489).
+    """
+    enc = params["enc"]
+    x = _conv_stem(enc, mel, compute_dtype)            # [B, T, d] f32
+    t = x.shape[1]
+    x = (x + enc["pos"][:t]).astype(compute_dtype)
+
+    def body(carry, blk):
+        return _encoder_block(carry, blk, dims.n_audio_head, compute_dtype), None
+
+    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post_w"], enc["ln_post_b"])  # f32
+
+
+def precompute_cross_kv(
+    params,
+    dims: ModelDims,
+    audio_features: jax.Array,   # [B, T, d] f32 (encode output)
+    compute_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Cross-attention K/V for every decoder layer, K pre-scaled.
+
+    Returns (xk, xv), each [L, B, T, H, Dh] in compute_dtype — the analogue
+    of the reference's kvCross buffers (KeyValueBuffers.h:7-53)."""
+    n_head = dims.n_text_head
+    scale = qk_scale(dims.n_text_state // n_head)
+    xf = audio_features.astype(compute_dtype)
+
+    def body(_, blk):
+        k = split_heads(dense(xf, blk["xk_w"]) * scale, n_head).astype(compute_dtype)
+        v = split_heads(dense(xf, blk["xv_w"], blk["xv_b"]), n_head).astype(compute_dtype)
+        return None, (k, v)
+
+    _, (xk, xv) = jax.lax.scan(body, None, params["dec"]["blocks"])
+    return xk, xv

@@ -1,0 +1,165 @@
+"""Checkpoint -> device parameter pytree.
+
+Replaces the reference's typed weight registry + per-tensor VRAM upload
+(Whisper/Whisper/ModelBuffers.h:8-116, WhisperModel.cpp:257-340) with a
+nested-dict pytree of jax arrays:
+
+  - per-layer tensors are STACKED on a leading [n_layer, ...] axis so the
+    transformer blocks run under ``lax.scan`` (one compiled block body
+    instead of n_layer unrolled copies — the XLA-native answer to the
+    reference's per-layer dispatch loop)
+  - matmul weights are stored [in, out] ("kernel" layout, x @ w) in the
+    policy's param dtype (bf16 by default — MXU-native)
+  - layernorm weights/biases stay f32 (numerics)
+
+The reference's AMD "panel reshape" (Reshaper.cpp:30-74) has no equivalent
+here: XLA layout assignment owns physical tiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.ggml import Checkpoint, RawTensor, load_checkpoint
+from whisper_tpu.hparams import ModelDims
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DtypePolicy:
+    """bf16 storage + f32 accumulation is the TPU analogue of the
+    reference's FP16 storage + FP32 shader math (SURVEY.md §7)."""
+
+    param_dtype: Any = jnp.bfloat16
+    compute_dtype: Any = jnp.bfloat16
+    norm_dtype: Any = jnp.float32
+
+    @staticmethod
+    def f32() -> "DtypePolicy":
+        return DtypePolicy(jnp.float32, jnp.float32, jnp.float32)
+
+
+def _get(tensors: dict[str, RawTensor], name: str, shape: tuple[int, ...]) -> np.ndarray:
+    if name not in tensors:
+        raise ValueError(f"missing tensor {name!r} in checkpoint")
+    arr = tensors[name].data
+    if int(np.prod(arr.shape)) != int(np.prod(shape)):
+        raise ValueError(f"{name}: size mismatch {arr.shape} vs expected {shape}")
+    return np.asarray(arr, np.float32).reshape(shape)
+
+
+def _stack_blocks(
+    tensors: dict[str, RawTensor],
+    prefix: str,
+    n_layer: int,
+    d: int,
+    cross: bool,
+) -> dict[str, np.ndarray]:
+    """Collect per-layer tensors into stacked arrays, transposing Linear
+    weights from torch [out, in] to kernel [in, out]."""
+
+    def gather(fmt: str, shape: tuple[int, ...], transpose: bool = False):
+        arrs = []
+        for i in range(n_layer):
+            a = _get(tensors, fmt.format(prefix=prefix, i=i), shape)
+            arrs.append(a.T if transpose else a)
+        return np.stack(arrs)
+
+    blocks = {
+        "attn_ln_w": gather("{prefix}.blocks.{i}.attn_ln.weight", (d,)),
+        "attn_ln_b": gather("{prefix}.blocks.{i}.attn_ln.bias", (d,)),
+        "q_w": gather("{prefix}.blocks.{i}.attn.query.weight", (d, d), transpose=True),
+        "q_b": gather("{prefix}.blocks.{i}.attn.query.bias", (d,)),
+        "k_w": gather("{prefix}.blocks.{i}.attn.key.weight", (d, d), transpose=True),
+        "v_w": gather("{prefix}.blocks.{i}.attn.value.weight", (d, d), transpose=True),
+        "v_b": gather("{prefix}.blocks.{i}.attn.value.bias", (d,)),
+        "o_w": gather("{prefix}.blocks.{i}.attn.out.weight", (d, d), transpose=True),
+        "o_b": gather("{prefix}.blocks.{i}.attn.out.bias", (d,)),
+        "mlp_ln_w": gather("{prefix}.blocks.{i}.mlp_ln.weight", (d,)),
+        "mlp_ln_b": gather("{prefix}.blocks.{i}.mlp_ln.bias", (d,)),
+        "fc1_w": gather("{prefix}.blocks.{i}.mlp.0.weight", (4 * d, d), transpose=True),
+        "fc1_b": gather("{prefix}.blocks.{i}.mlp.0.bias", (4 * d,)),
+        "fc2_w": gather("{prefix}.blocks.{i}.mlp.2.weight", (d, 4 * d), transpose=True),
+        "fc2_b": gather("{prefix}.blocks.{i}.mlp.2.bias", (d,)),
+    }
+    if cross:
+        blocks.update(
+            x_ln_w=gather("{prefix}.blocks.{i}.cross_attn_ln.weight", (d,)),
+            x_ln_b=gather("{prefix}.blocks.{i}.cross_attn_ln.bias", (d,)),
+            xq_w=gather("{prefix}.blocks.{i}.cross_attn.query.weight", (d, d), transpose=True),
+            xq_b=gather("{prefix}.blocks.{i}.cross_attn.query.bias", (d,)),
+            xk_w=gather("{prefix}.blocks.{i}.cross_attn.key.weight", (d, d), transpose=True),
+            xv_w=gather("{prefix}.blocks.{i}.cross_attn.value.weight", (d, d), transpose=True),
+            xv_b=gather("{prefix}.blocks.{i}.cross_attn.value.bias", (d,)),
+            xo_w=gather("{prefix}.blocks.{i}.cross_attn.out.weight", (d, d), transpose=True),
+            xo_b=gather("{prefix}.blocks.{i}.cross_attn.out.bias", (d,)),
+        )
+    return blocks
+
+
+_NORM_KEYS = frozenset(
+    k
+    for k in (
+        "attn_ln_w attn_ln_b mlp_ln_w mlp_ln_b x_ln_w x_ln_b "
+        "ln_post_w ln_post_b ln_w ln_b"
+    ).split()
+)
+_BIAS_KEYS = frozenset(
+    "q_b v_b o_b fc1_b fc2_b xq_b xv_b xo_b conv1_b conv2_b".split()
+)
+
+
+def params_from_checkpoint(
+    cp: Checkpoint, policy: DtypePolicy = DtypePolicy(), device_put: bool = True
+) -> Params:
+    """Build the parameter pytree from a loaded checkpoint."""
+    dims = cp.dims
+    d = dims.n_audio_state
+    t = cp.tensors
+
+    host: Params = {
+        "enc": {
+            "pos": _get(t, "encoder.positional_embedding", (dims.n_audio_ctx, d)),
+            # conv weights: torch Conv1d [out, in, k] -> [k, in, out] for
+            # lax.conv_general_dilated with ("NHC","HIO","NHC")
+            "conv1_w": _get(t, "encoder.conv1.weight", (d, dims.n_mels, 3)).transpose(2, 1, 0),
+            "conv1_b": _get(t, "encoder.conv1.bias", (d,)),
+            "conv2_w": _get(t, "encoder.conv2.weight", (d, d, 3)).transpose(2, 1, 0),
+            "conv2_b": _get(t, "encoder.conv2.bias", (d,)),
+            "ln_post_w": _get(t, "encoder.ln_post.weight", (d,)),
+            "ln_post_b": _get(t, "encoder.ln_post.bias", (d,)),
+            "blocks": _stack_blocks(t, "encoder", dims.n_audio_layer, d, cross=False),
+        },
+        "dec": {
+            "pos": _get(t, "decoder.positional_embedding", (dims.n_text_ctx, d)),
+            "tok": _get(t, "decoder.token_embedding.weight", (dims.n_vocab, d)),
+            "ln_w": _get(t, "decoder.ln.weight", (d,)),
+            "ln_b": _get(t, "decoder.ln.bias", (d,)),
+            "blocks": _stack_blocks(t, "decoder", dims.n_text_layer, d, cross=True),
+        },
+    }
+
+    def cast(path, leaf):
+        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if key in _NORM_KEYS or key in _BIAS_KEYS:
+            dt = policy.norm_dtype
+        else:
+            dt = policy.param_dtype
+        arr = jnp.asarray(leaf, dt)
+        return arr
+
+    params = jax.tree_util.tree_map_with_path(cast, host)
+    return params
+
+
+def load_params(
+    path: str, policy: DtypePolicy = DtypePolicy(), progress=None
+) -> tuple[ModelDims, Params, Checkpoint]:
+    cp = load_checkpoint(path, progress=progress)
+    return cp.dims, params_from_checkpoint(cp, policy), cp
