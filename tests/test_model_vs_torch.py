@@ -126,8 +126,8 @@ def test_decoder_matches_torch(setup):
     cross = precompute_cross_kv(params, cp.dims, feats, compute_dtype=jnp.float32)
     kv = init_self_kv(cp.dims, 1, dtype=jnp.float32)
     logits, kv = decode_step(
-        params, cp.dims, jnp.asarray(tokens), jnp.int32(0), kv, cross,
-        compute_dtype=jnp.float32, logits_last_only=False,
+        params, cp.dims, jnp.asarray(tokens), jnp.zeros((1,), jnp.int32), kv, cross,
+        compute_dtype=jnp.float32,
     )
     ours = np.asarray(logits)  # [1, S, V]
 
@@ -153,16 +153,17 @@ def test_incremental_equals_batch(setup):
 
     kv = init_self_kv(cp.dims, 1, dtype=jnp.float32)
     full, _ = decode_step(
-        params, cp.dims, jnp.asarray(tokens), jnp.int32(0), kv, cross,
-        compute_dtype=jnp.float32, logits_last_only=False,
+        params, cp.dims, jnp.asarray(tokens), jnp.zeros((1,), jnp.int32), kv, cross,
+        compute_dtype=jnp.float32,
     )
 
     kv = init_self_kv(cp.dims, 1, dtype=jnp.float32)
     step_logits = []
     for i in range(tokens.shape[1]):
         lg, kv = decode_step(
-            params, cp.dims, jnp.asarray(tokens[:, i : i + 1]), jnp.int32(i), kv, cross,
-            compute_dtype=jnp.float32, logits_last_only=True,
+            params, cp.dims, jnp.asarray(tokens[:, i : i + 1]),
+            jnp.full((1,), i, jnp.int32), kv, cross,
+            compute_dtype=jnp.float32, logits_row=jnp.zeros((1,), jnp.int32),
         )
         step_logits.append(np.asarray(lg))
     inc = np.stack(step_logits, axis=1)  # [1, S, V]

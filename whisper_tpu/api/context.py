@@ -1,0 +1,340 @@
+"""Transcription driver — the ``whisper_full`` port.
+
+Host-side sliding-window loop faithful to the reference's ``runFullImpl``
+(ContextImpl.cpp:452-794), with the per-token inner loop replaced by the
+on-device ``decode_window`` (one host sync per 30 s window instead of two
+per token):
+
+  while seek+100 < seek_end:
+      progress / encoder-begin callbacks
+      encode(mel window at seek)                      [device]
+      prompt = [_PREV_] + tail(prompt_past) + SOT(+lang)(+task)
+      WindowResult = decode_window(...)               [device, whole loop]
+      failed -> seek += 100 (1 s penalty skip)        [host]
+      segment assembly on timestamp tokens + callbacks [host]
+      seek += seek_delta
+
+Times are centiseconds (1 mel frame = 10 ms), the reference's native unit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from whisper_tpu.api.params import Flags, FullParams, SamplingStrategy, full_default_params
+from whisper_tpu.api.result import Segment, Speaker, Token, TokenFlags, TranscribeResult
+from whisper_tpu.hparams import N_FRAMES
+from whisper_tpu.languages import find_language_id
+from whisper_tpu.obs.profiler import Profiler
+
+
+class _TokenData:
+    """Host mirror of the reference sTokenData (ContextImpl.h:31-43)."""
+
+    __slots__ = ("id", "p", "pt", "ptsum", "tid", "t0", "t1", "vlen")
+
+    def __init__(self, id, p, pt, ptsum, tid):
+        self.id = int(id)
+        self.p = float(p)
+        self.pt = float(pt)
+        self.ptsum = float(ptsum)
+        self.tid = int(tid)
+        self.t0 = -1
+        self.t1 = -1
+        self.vlen = 0.0
+
+
+class Context:
+    """Per-transcription state over a shared Model (iContext analogue,
+    Whisper/API/iContext.h:22-41)."""
+
+    def __init__(self, model):
+        self.model = model
+        self.runtime = model.runtime
+        self.vocab = model.vocab
+        self.prompt_past: list[int] = []
+        self.result_all: list[Segment] = []
+        self.profiler = Profiler()
+        from whisper_tpu.api.timestamps import TimestampState
+
+        self._ts_state = TimestampState()
+        self._energy: Optional[np.ndarray] = None   # signal energy for token ts
+        self._stereo: Optional[np.ndarray] = None   # stereo pcm for diarization
+        self._mel_len = 0
+
+    # ------------------------------------------------------------------
+    # public entry points (runFull / runStreamed analogues)
+    # ------------------------------------------------------------------
+
+    def run_full(self, params: Optional[FullParams], audio: np.ndarray) -> TranscribeResult:
+        """Transcribe a full PCM clip (float32 mono 16 kHz; [N] or [2, N]
+        stereo — stereo is downmixed for the model and kept for diarization,
+        reference Spectrogram.cpp:104-120)."""
+        params = params or full_default_params()
+        with self.profiler.cpu("run_complete"):
+            audio = np.asarray(audio, np.float32)
+            if audio.ndim == 2:
+                self._stereo = audio
+                mono = audio.mean(axis=0)
+            else:
+                self._stereo = None
+                mono = audio
+
+            with self.profiler.cpu("spectrogram"):
+                mel = np.asarray(self.model.mel(mono))        # [n_mels, n_len]
+
+            if params.flag(Flags.TOKEN_TIMESTAMPS):
+                from whisper_tpu.api.timestamps import compute_signal_energy
+
+                self._energy = compute_signal_energy(mono)
+
+            return self._run_full_impl(params, mel)
+
+    def run_streamed(self, params: Optional[FullParams], reader) -> TranscribeResult:
+        """Transcribe from a chunked audio reader (runStreamed analogue,
+        ContextImpl.misc.cpp:391-419). ``reader`` yields float32 mono chunks."""
+        from whisper_tpu.features.stream import MelStreamer
+
+        params = params or full_default_params()
+        streamer = MelStreamer(self.model.mel)
+        for chunk in reader:
+            streamer.append(np.asarray(chunk, np.float32))
+        mel = streamer.finalize()
+        return self._run_full_impl(params, mel)
+
+    # ------------------------------------------------------------------
+    # the main loop
+    # ------------------------------------------------------------------
+
+    def _run_full_impl(self, params: FullParams, mel: np.ndarray) -> TranscribeResult:
+        vocab = self.vocab
+        dims = self.runtime.dims
+        self.result_all = []
+        n_len = mel.shape[1]
+        self._mel_len = n_len
+
+        if params.flag(Flags.SPEEDUP_AUDIO):
+            raise NotImplementedError(
+                "SpeedupAudio is not implemented (matches reference GPU path, "
+                "ContextImpl.cpp:459-463)"
+            )
+
+        seek_start = params.offset_ms // 10
+        seek_end = seek_start + (params.duration_ms // 10 if params.duration_ms else n_len)
+
+        # skip clips shorter than 1 s (ContextImpl.cpp:470-473)
+        if seek_end < 100 + seek_start:
+            return TranscribeResult(segments=[])
+
+        if params.flag(Flags.NO_CONTEXT):
+            self.prompt_past = []
+        if params.prompt_tokens:
+            self.prompt_past = list(params.prompt_tokens) + self.prompt_past
+
+        audio_ctx = params.audio_ctx or dims.n_audio_ctx
+        if not (0 < audio_ctx <= dims.n_audio_ctx):
+            raise ValueError(f"audio_ctx {audio_ctx} out of range")
+
+        # task/language prompt head (ContextImpl.cpp:491-512)
+        prompt_init = [vocab.token_sot]
+        if vocab.multilingual:
+            lang_id = find_language_id(params.language)
+            if lang_id < 0:
+                raise ValueError(f"unknown language {params.language!r}")
+            prompt_init.append(vocab.token_sot + 1 + lang_id)
+            prompt_init.append(
+                vocab.token_translate if params.flag(Flags.TRANSLATE) else vocab.token_transcribe
+            )
+
+        # zero-pad mel so any [seek, seek+window) slice is in range
+        window = 2 * audio_ctx
+        mel_padded = np.zeros((mel.shape[0], n_len + window), mel.dtype)
+        mel_padded[:, :n_len] = mel
+
+        seek = seek_start
+        cap = self.runtime.prompt_capacity
+
+        while True:
+            if params.progress_callback:
+                with self.profiler.cpu("callbacks"):
+                    params.progress_callback(
+                        (seek - seek_start) / max(1, seek_end - seek_start)
+                    )
+            if seek + 100 >= seek_end:
+                break
+            if params.encoder_begin_callback:
+                with self.profiler.cpu("callbacks"):
+                    if not params.encoder_begin_callback(self):
+                        break
+
+            with self.profiler.cpu("encode"):
+                mel_win = mel_padded[None, :, seek : seek + window]
+                _, cross_kv = self.runtime.encode_window(mel_win)
+
+            # prompt assembly (ContextImpl.cpp:562-576)
+            prompt: list[int] = []
+            if self.prompt_past:
+                n_take = min(params.n_max_text_ctx, dims.n_text_ctx // 2, len(self.prompt_past))
+                prompt = [vocab.token_prev] + self.prompt_past[-n_take:]
+                self.prompt_past = self.prompt_past[-n_take:]
+            prompt += prompt_init
+
+            padded = np.zeros((1, cap), np.int32)
+            padded[0, : len(prompt)] = prompt
+
+            with self.profiler.cpu("decode"):
+                if params.strategy == SamplingStrategy.BEAM_SEARCH:
+                    res = self._run_window_beam(params, padded, len(prompt), cross_kv, seek, seek_end)
+                else:
+                    res = self.runtime.run_window(
+                        padded,
+                        np.full((1,), len(prompt), np.int32),
+                        cross_kv,
+                        np.full((1,), seek, np.int32),
+                        np.full((1,), seek_end, np.int32),
+                        max_tokens=params.max_tokens,
+                        single_segment=params.flag(Flags.SINGLE_SEGMENT),
+                    )
+                # one host transfer per window
+                res = {k: np.asarray(v) for k, v in res._asdict().items()}
+
+            if bool(res["failed"][0]):
+                # "failed to generate timestamp token - skipping one second"
+                seek += 100
+                continue
+
+            result_len = int(res["result_len"][0])
+            seek_delta = int(res["seek_delta"][0])
+            tokens_cur = [
+                _TokenData(
+                    res["tokens"][0, i], res["p"][0, i], res["pt"][0, i],
+                    res["ptsum"][0, i], res["tid"][0, i],
+                )
+                for i in range(result_len)
+            ]
+
+            for t in tokens_cur:
+                self.prompt_past.append(t.id)
+
+            self._assemble_segments(params, tokens_cur, seek, seek_delta)
+            seek += seek_delta
+
+        if params.progress_callback:
+            params.progress_callback(1.0)
+        return TranscribeResult(segments=list(self.result_all))
+
+    # ------------------------------------------------------------------
+    # segment assembly (ContextImpl.cpp:689-784)
+    # ------------------------------------------------------------------
+
+    def _emit_segment(self, params: FullParams, t0: int, t1: int, text: bytes,
+                      tokens: list[_TokenData]):
+        vocab = self.vocab
+        seg = Segment(
+            text=text.decode("utf-8", errors="replace"),
+            t0=t0,
+            t1=t1,
+            tokens=[
+                Token(
+                    id=t.id,
+                    text=vocab.string(t.id) or "",
+                    t0=t.t0,
+                    t1=t.t1,
+                    probability=t.p,
+                    pt=t.pt,
+                    ptsum=t.ptsum,
+                    tid=t.tid,
+                    vlen=t.vlen,
+                    flags=TokenFlags.SPECIAL if t.id >= vocab.token_eot else TokenFlags.NONE,
+                )
+                for t in tokens
+            ],
+        )
+        if self._stereo is not None:
+            from whisper_tpu.api.diarize import detect_speaker
+
+            seg.speaker = detect_speaker(self._stereo, t0, t1)
+        self.result_all.append(seg)
+
+        n_new = 1
+        if params.flag(Flags.TOKEN_TIMESTAMPS):
+            from whisper_tpu.api.timestamps import (
+                compute_token_level_timestamps,
+                wrap_segment,
+            )
+
+            compute_token_level_timestamps(
+                self.result_all, len(self.result_all) - 1, vocab,
+                params.thold_pt, params.thold_ptsum,
+                energy=self._energy, state=self._ts_state,
+            )
+            if params.max_len > 0:
+                n_new = wrap_segment(self.result_all, params.max_len, vocab)
+        if params.new_segment_callback:
+            with self.profiler.cpu("callbacks"):
+                params.new_segment_callback(self, n_new)
+
+    def _assemble_segments(self, params: FullParams, tokens_cur: list[_TokenData],
+                           seek: int, seek_delta: int):
+        vocab = self.vocab
+        if not tokens_cur:
+            return
+        single = params.flag(Flags.SINGLE_SEGMENT)
+        i0 = 0
+        t0 = seek + 2 * (tokens_cur[0].tid - vocab.token_beg)
+        text = b""
+        i = 0
+        n = len(tokens_cur)
+        while i < n:
+            tk = tokens_cur[i]
+            if params.flag(Flags.PRINT_SPECIAL) or tk.id < vocab.token_eot:
+                text += vocab.bytes(tk.id) or b""
+            if tk.id > vocab.token_beg and not single:
+                t1 = seek + 2 * (tk.tid - vocab.token_beg)
+                if text:
+                    self._emit_segment(params, t0, t1, text, tokens_cur[i0 : i + 1])
+                text = b""
+                # skip consecutive timestamp tokens
+                while i < n and tokens_cur[i].id > vocab.token_beg:
+                    i += 1
+                i -= 1
+                t0 = t1
+                i0 = i + 1
+            i += 1
+        if text:
+            t1 = seek + seek_delta
+            self._emit_segment(params, t0, t1, text, tokens_cur[i0:])
+
+    # ------------------------------------------------------------------
+
+    def _run_window_beam(self, params, padded, prompt_len, cross_kv, seek, seek_end):
+        from whisper_tpu.runtime.beam import decode_window_beam
+
+        return decode_window_beam(
+            self.runtime, params, padded, prompt_len, cross_kv, seek, seek_end
+        )
+
+    # result access (getResults analogue)
+    @property
+    def results(self) -> TranscribeResult:
+        return TranscribeResult(segments=list(self.result_all))
+
+    def detect_speaker(self, t0: int, t1: int) -> Speaker:
+        """Stereo-energy diarization over a time interval in centiseconds
+        (ContextImpl.diarize.cpp:17-108)."""
+        if self._stereo is None:
+            return Speaker.NO_STEREO_DATA
+        from whisper_tpu.api.diarize import detect_speaker
+
+        return detect_speaker(self._stereo, t0, t1)
+
+    def timings_print(self) -> str:
+        """timingsPrint analogue (ContextImpl.misc.cpp:170-188)."""
+        report = self.profiler.report()
+        print(report)
+        return report
+
+    def timings_reset(self) -> None:
+        self.profiler.reset()

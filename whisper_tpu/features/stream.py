@@ -1,0 +1,88 @@
+"""Streaming mel front-end (MelStreamer analogue).
+
+The reference MelStreamer (Whisper/Whisper/MelStreamer.h:15-104) keeps deques
+of 10 ms PCM/mel chunks, computes FFT ahead on worker threads, and re-applies
+a RUNNING max for the (x - clamp(max-8) + 4)/4 normalization
+(MelStreamer.cpp:125-180). Here the device computes mel in batches of hops;
+normalization is deferred: raw log10-mel accumulates, and windows are
+normalized against the running max when sliced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from whisper_tpu.features.mel import LogMelSpectrogram
+from whisper_tpu.hparams import HOP_LENGTH, N_FFT
+
+
+class MelStreamer:
+    """Append PCM chunks; read normalized mel windows as they become ready."""
+
+    def __init__(self, mel: LogMelSpectrogram, batch_hops: int = 100):
+        if mel.mode != "reference":
+            # centered (openai) framing needs lookahead of n_fft/2; the
+            # streaming path uses causal reference framing like MelStreamer.
+            mel = LogMelSpectrogram(
+                np.asarray(mel.filters), n_fft=mel.n_fft, hop=mel.hop, mode="reference"
+            )
+        self.mel = mel
+        self.batch_hops = batch_hops
+        self._pcm = np.zeros(0, np.float32)
+        self._chunks: list[np.ndarray] = []   # raw log-mel [n_mels, k]
+        self._running_max = -1e20
+        self._frames = 0
+
+    @property
+    def n_frames(self) -> int:
+        return self._frames
+
+    def append(self, pcm: np.ndarray) -> None:
+        self._pcm = np.concatenate([self._pcm, np.asarray(pcm, np.float32)])
+        # process all complete hops, keeping n_fft-hop lookahead so frames
+        # never see implicit zero padding mid-stream
+        usable = (len(self._pcm) - (N_FFT - HOP_LENGTH)) // HOP_LENGTH
+        while usable >= self.batch_hops:
+            take = self.batch_hops
+            seg = self._pcm[: take * HOP_LENGTH + (N_FFT - HOP_LENGTH)]
+            self._emit(seg, take)
+            self._pcm = self._pcm[take * HOP_LENGTH :]
+            usable -= take
+
+    def _emit(self, seg: np.ndarray, n_frames: int) -> None:
+        lm = np.asarray(self.mel(seg, normalize=False))[:, :n_frames]
+        self._chunks.append(lm)
+        if lm.size:
+            self._running_max = max(self._running_max, float(lm.max()))
+        self._frames += n_frames
+
+    def flush(self) -> None:
+        """Process the remaining tail with zero padding (end of stream)."""
+        if len(self._pcm) >= HOP_LENGTH:
+            n = len(self._pcm) // HOP_LENGTH
+            self._emit(self._pcm, n)
+        self._pcm = np.zeros(0, np.float32)
+
+    def finalize(self) -> np.ndarray:
+        """End the stream and return the full normalized mel [n_mels, F]."""
+        self.flush()
+        if not self._chunks:
+            return np.zeros((self.mel.n_mels, 0), np.float32)
+        raw = np.concatenate(self._chunks, axis=1)
+        return self._normalize(raw)
+
+    def _normalize(self, raw: np.ndarray) -> np.ndarray:
+        mmax = self._running_max - 8.0
+        return ((np.maximum(raw, mmax) + 4.0) / 4.0).astype(np.float32)
+
+    def window(self, offset: int, length: int) -> np.ndarray:
+        """Normalized mel slice [n_mels, length], zero-padded past the end —
+        the iSpectrogram::makeBuffer contract (iSpectrogram.h:12-45)."""
+        raw = np.concatenate(self._chunks, axis=1) if self._chunks else np.zeros(
+            (self.mel.n_mels, 0), np.float32
+        )
+        out = np.zeros((self.mel.n_mels, length), np.float32)
+        avail = raw[:, offset : offset + length]
+        if avail.size:
+            out[:, : avail.shape[1]] = self._normalize(avail)
+        return out

@@ -5,15 +5,21 @@ Behavioral spec from the reference decodeLayer/decode
   - embeddings: token_embedding[ids] + positional_embedding[n_past..]
     (the addRows shader, MlContext.cpp:588-618)
   - masked self-attention writes this step's K/V into the per-layer cache at
-    offset n_past, then attends over the first n_past+S entries
+    offset n_past, then attends over entries <= query position
   - cross-attention reads the precomputed, pre-scaled kvCross
   - logits = ln(x) @ token_embedding^T
 
 TPU-native differences: the cache is a single stacked [L, B, C, H, Dh] pair
-updated via ``lax.dynamic_update_slice`` inside the layer scan, shapes are
-static (C = n_text_ctx), and the whole step is jit-compatible so the token
-loop can live on device (no per-token host sync — the reference's central
-bottleneck, WhisperContext.cpp:634-639).
+updated via per-lane ``dynamic_update_slice`` (vmapped over batch) inside the
+layer scan; ``n_past`` is a [B] vector so data-parallel lanes and beams can
+sit at different depths; shapes are static (C = n_text_ctx); and the whole
+step is jit-compatible so the token loop lives on device (no per-token host
+sync — the reference's central bottleneck, WhisperContext.cpp:634-639).
+
+Padded prompts: right-pad to a fixed length and pass the true length via
+``n_past_after``/``logits_row``. Pad rows only write cache slots at
+positions >= the true length, which later real tokens overwrite before any
+real query can attend them (mask is key_pos <= query_pos).
 """
 
 from __future__ import annotations
@@ -55,11 +61,18 @@ def init_self_kv(
     return SelfKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def _decoder_block(
-    x, blk, kv, n_past, xk, xv, n_head, compute_dtype
-):
+def _cache_append(cache: jax.Array, new: jax.Array, n_past: jax.Array) -> jax.Array:
+    """Per-lane KV append: cache [B,C,H,Dh], new [B,S,H,Dh], n_past [B]."""
+
+    def one(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+
+    return jax.vmap(one)(cache, new, n_past)
+
+
+def _decoder_block(x, blk, kv, n_past, xk, xv, n_head, compute_dtype):
     """One decoder block. x [B,S,d]; kv ([B,C,H,Dh], [B,C,H,Dh]);
-    xk/xv [B,Sx,H,Dh]. Returns (x, new_kv)."""
+    xk/xv [B,Sx,H,Dh]; n_past [B]. Returns (x, new_kv)."""
     b, s, d = x.shape
     cache_len = kv[0].shape[1]
     scale = qk_scale(d // n_head)
@@ -70,13 +83,13 @@ def _decoder_block(
     k_new = split_heads(dense(h, blk["k_w"]) * scale, n_head).astype(compute_dtype)
     v_new = split_heads(dense(h, blk["v_w"], blk["v_b"]), n_head).astype(compute_dtype)
 
-    k_cache = jax.lax.dynamic_update_slice(kv[0], k_new, (0, n_past, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(kv[1], v_new, (0, n_past, 0, 0))
+    k_cache = _cache_append(kv[0], k_new, n_past)
+    v_cache = _cache_append(kv[1], v_new, n_past)
 
     # query row i (global position n_past+i) may attend cache slots <= n_past+i
-    key_idx = jnp.arange(cache_len)[None, :]              # [1, C]
-    q_pos = n_past + jnp.arange(s)[:, None]               # [S, 1]
-    mask = (key_idx <= q_pos)[None, None, :, :]           # [1, 1, S, C]
+    key_idx = jnp.arange(cache_len)[None, None, :]            # [1, 1, C]
+    q_pos = n_past[:, None, None] + jnp.arange(s)[None, :, None]  # [B, S, 1]
+    mask = (key_idx <= q_pos)[:, None, :, :]                  # [B, 1, S, C]
     att = attention(q, k_cache, v_cache, mask=mask, compute_dtype=compute_dtype)
     x = x + dense(merge_heads(att).astype(compute_dtype), blk["o_w"], blk["o_b"]).astype(compute_dtype)
 
@@ -97,22 +110,25 @@ def decode_step(
     params,
     dims: ModelDims,
     tokens: jax.Array,        # [B, S] int32
-    n_past: jax.Array,        # scalar int32 (dynamic)
+    n_past: jax.Array,        # [B] int32
     self_kv: SelfKV,          # [L, B, C, H, Dh] x2
     cross_kv: tuple[jax.Array, jax.Array],  # [L, B, Sx, H, Dh] x2
     compute_dtype=jnp.bfloat16,
-    logits_last_only: bool = True,
+    logits_row: jax.Array | None = None,  # [B] row to project; None = all rows
 ):
-    """Run the decoder on S tokens at positions n_past..n_past+S-1.
+    """Run the decoder on S tokens at per-lane positions n_past..n_past+S-1.
 
-    Returns (logits, new_self_kv): logits [B, n_vocab] f32 when
-    ``logits_last_only`` else [B, S, n_vocab].
+    Returns (logits, new_self_kv): logits [B, n_vocab] f32 when ``logits_row``
+    is given (only that row pays the vocab matmul), else [B, S, n_vocab].
     """
     dec = params["dec"]
     b, s = tokens.shape
+    n_past = n_past.astype(jnp.int32)
 
-    pos = jax.lax.dynamic_slice_in_dim(dec["pos"], n_past, s, axis=0)
-    x = (dec["tok"][tokens] + pos).astype(compute_dtype)  # [B, S, d]
+    pos = jax.vmap(
+        lambda p: jax.lax.dynamic_slice_in_dim(dec["pos"], p, s, axis=0)
+    )(n_past)                                              # [B, S, d]
+    x = (dec["tok"][tokens] + pos).astype(compute_dtype)   # [B, S, d]
 
     def body(carry, layer):
         x = carry
@@ -127,8 +143,8 @@ def decode_step(
     )
 
     x = layer_norm(x, dec["ln_w"], dec["ln_b"])  # [B, S, d] f32
-    if logits_last_only:
-        x = x[:, -1]
+    if logits_row is not None:
+        x = jnp.take_along_axis(x, logits_row[:, None, None], axis=1)[:, 0]  # [B, d]
     logits = jnp.dot(
         x.astype(compute_dtype),
         dec["tok"].T.astype(compute_dtype),
