@@ -50,17 +50,18 @@ class WhisperRuntime:
 
         @functools.partial(
             jax.jit,
-            static_argnames=("max_tokens", "single_segment"),
+            static_argnames=("max_tokens", "single_segment", "force_steps"),
         )
         def _run_window(
             params, prompt, prompt_len, cross_kv, seek, seek_end,
-            max_tokens, single_segment,
+            max_tokens, single_segment, force_steps,
         ) -> WindowResult:
             kv = init_self_kv(dims, prompt.shape[0], dtype=compute_dtype)
             return decode_window(
                 params, dims, special_ids, prompt, prompt_len, kv, cross_kv,
                 seek, seek_end, max_tokens=max_tokens,
                 single_segment=single_segment, compute_dtype=compute_dtype,
+                force_steps=force_steps,
             )
 
         self._encode_window = _encode_window
@@ -89,8 +90,9 @@ class WhisperRuntime:
         seek_end: jax.Array,
         max_tokens: int = 0,
         single_segment: bool = False,
+        force_steps: int = 0,
     ) -> WindowResult:
         return self._run_window(
             self.params, prompt, prompt_len, cross_kv, seek, seek_end,
-            max_tokens, single_segment,
+            max_tokens, single_segment, force_steps,
         )

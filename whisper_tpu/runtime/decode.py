@@ -79,7 +79,11 @@ def decode_window(
     max_tokens: int = 0,
     single_segment: bool = False,
     compute_dtype=jnp.bfloat16,
+    force_steps: int = 0,
 ) -> WindowResult:
+    """``force_steps > 0`` is a benchmarking mode: termination rules are
+    bypassed and exactly that many decode steps run — random-weight benches
+    need a deterministic workload (tokens/window)."""
     b, p_max = prompt.shape
     n_max = dims.n_text_ctx // 2 - 4
     chunk_frames = N_FRAMES  # 100 * WHISPER_CHUNK_SIZE
@@ -156,6 +160,11 @@ def decode_window(
         last = i == (n_max - 1)
         rep_fail = last & ~done & ((result_len == 0) | (seek_delta < chunk_frames // 2))
         failed = failed | rep_fail
+
+        if force_steps > 0:  # bench mode: fixed-length decode
+            done = jnp.broadcast_to(i + 1 >= force_steps, done.shape)
+            failed = jnp.zeros_like(failed)
+            result_len = jnp.where(done, i + 1, result_len)
 
         # --- decode the next token (runs for all lanes; frozen lanes ignore
         # the result — their slot at n_past is past their real data) ---

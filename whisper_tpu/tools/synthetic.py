@@ -1,0 +1,79 @@
+"""Synthetic (random-weight) parameter pytrees, built directly on device.
+
+Benchmarks and compile checks need flagship-sized models without checkpoint
+files; generating on device via jax.random avoids pushing gigabytes through
+host->device transfer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.hparams import KNOWN_MODELS, ModelDims
+
+
+def make_synthetic_params(
+    dims: ModelDims, param_dtype=jnp.bfloat16, norm_dtype=jnp.float32, seed: int = 0
+):
+    """Random params with the exact pytree structure of params_from_checkpoint."""
+    d = dims.n_audio_state
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def nrm(shape, dtype, scale=None):
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        s = scale if scale is not None else (1.0 / (shape[-1] ** 0.5))
+        return (jax.random.normal(k, shape, jnp.float32) * s).astype(dtype)
+
+    def ones(shape):
+        return jnp.ones(shape, norm_dtype)
+
+    def zeros(shape):
+        return jnp.zeros(shape, norm_dtype)
+
+    def enc_blocks(n_layer):
+        return {
+            "attn_ln_w": ones((n_layer, d)), "attn_ln_b": zeros((n_layer, d)),
+            "q_w": nrm((n_layer, d, d), param_dtype), "q_b": zeros((n_layer, d)),
+            "k_w": nrm((n_layer, d, d), param_dtype),
+            "v_w": nrm((n_layer, d, d), param_dtype), "v_b": zeros((n_layer, d)),
+            "o_w": nrm((n_layer, d, d), param_dtype), "o_b": zeros((n_layer, d)),
+            "mlp_ln_w": ones((n_layer, d)), "mlp_ln_b": zeros((n_layer, d)),
+            "fc1_w": nrm((n_layer, d, 4 * d), param_dtype), "fc1_b": zeros((n_layer, 4 * d)),
+            "fc2_w": nrm((n_layer, 4 * d, d), param_dtype), "fc2_b": zeros((n_layer, d)),
+        }
+
+    def dec_blocks(n_layer):
+        b = enc_blocks(n_layer)
+        b.update(
+            x_ln_w=ones((n_layer, d)), x_ln_b=zeros((n_layer, d)),
+            xq_w=nrm((n_layer, d, d), param_dtype), xq_b=zeros((n_layer, d)),
+            xk_w=nrm((n_layer, d, d), param_dtype),
+            xv_w=nrm((n_layer, d, d), param_dtype), xv_b=zeros((n_layer, d)),
+            xo_w=nrm((n_layer, d, d), param_dtype), xo_b=zeros((n_layer, d)),
+        )
+        return b
+
+    return {
+        "enc": {
+            "pos": nrm((dims.n_audio_ctx, d), param_dtype, 0.02),
+            "conv1_w": nrm((3, dims.n_mels, d), param_dtype),
+            "conv1_b": zeros((d,)),
+            "conv2_w": nrm((3, d, d), param_dtype),
+            "conv2_b": zeros((d,)),
+            "ln_post_w": ones((d,)), "ln_post_b": zeros((d,)),
+            "blocks": enc_blocks(dims.n_audio_layer),
+        },
+        "dec": {
+            "pos": nrm((dims.n_text_ctx, d), param_dtype, 0.02),
+            "tok": nrm((dims.n_vocab, d), param_dtype, 0.02),
+            "ln_w": ones((d,)), "ln_b": zeros((d,)),
+            "blocks": dec_blocks(dims.n_text_layer),
+        },
+    }
+
+
+def dims_for(name: str) -> ModelDims:
+    return KNOWN_MODELS[name]
