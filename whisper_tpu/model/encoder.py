@@ -49,14 +49,20 @@ def _conv_stem(enc, mel, compute_dtype):
     return gelu(x + enc["conv2_b"])  # f32 [B, T, d]
 
 
-def _encoder_block(x, blk, n_head, compute_dtype):
+def _encoder_block(x, blk, n_head, compute_dtype, kernels=None):
     """One pre-LN encoder block. x: [B, T, d] compute_dtype."""
     scale = qk_scale(x.shape[-1] // n_head)
     h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(compute_dtype)
     q = split_heads(dense(h, blk["q_w"], blk["q_b"]) * scale, n_head).astype(compute_dtype)
     k = split_heads(dense(h, blk["k_w"]) * scale, n_head).astype(compute_dtype)
     v = split_heads(dense(h, blk["v_w"], blk["v_b"]), n_head).astype(compute_dtype)
-    att = merge_heads(attention(q, k, v, compute_dtype=compute_dtype)).astype(compute_dtype)
+    if kernels is not None and kernels.flash_attention:
+        from whisper_tpu.kernels.attention import flash_attention
+
+        att = merge_heads(flash_attention(q, k, v, interpret=kernels.interpret))
+        att = att.astype(compute_dtype)
+    else:
+        att = merge_heads(attention(q, k, v, compute_dtype=compute_dtype)).astype(compute_dtype)
     x = x + dense(att, blk["o_w"], blk["o_b"]).astype(compute_dtype)
 
     h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]).astype(compute_dtype)
@@ -70,11 +76,13 @@ def encode(
     dims: ModelDims,
     mel: jax.Array,          # [B, n_mels, 2*audio_ctx]
     compute_dtype=jnp.bfloat16,
+    kernels=None,
 ) -> jax.Array:
     """Full encoder forward -> audio features [B, audio_ctx, d] (f32).
 
     ``audio_ctx`` is implied by the mel window length (the sFullParams
     audio_ctx override shrinks the window, reference ContextImpl.cpp:24,489).
+    ``kernels``: optional KernelConfig selecting Pallas fused attention.
     """
     enc = params["enc"]
     x = _conv_stem(enc, mel, compute_dtype)            # [B, T, d] f32
@@ -82,7 +90,7 @@ def encode(
     x = (x + enc["pos"][:t]).astype(compute_dtype)
 
     def body(carry, blk):
-        return _encoder_block(carry, blk, dims.n_audio_head, compute_dtype), None
+        return _encoder_block(carry, blk, dims.n_audio_head, compute_dtype, kernels), None
 
     x, _ = jax.lax.scan(body, x, enc["blocks"])
     return layer_norm(x, enc["ln_post_w"], enc["ln_post_b"])  # f32

@@ -35,16 +35,20 @@ class WhisperRuntime:
         dims: ModelDims,
         special_ids: SpecialIds,
         compute_dtype=jnp.bfloat16,
-        donate_kv: bool = True,
+        kernels=None,
     ):
+        from whisper_tpu.config import KernelConfig
+
         self.params = params
         self.dims = dims
         self.ids = special_ids
         self.compute_dtype = compute_dtype
+        self.kernels = kernels if kernels is not None else KernelConfig.auto()
+        kcfg = self.kernels
 
         @functools.partial(jax.jit)
         def _encode_window(params, mel):
-            feats = encode(params, dims, mel, compute_dtype=compute_dtype)
+            feats = encode(params, dims, mel, compute_dtype=compute_dtype, kernels=kcfg)
             cross = precompute_cross_kv(params, dims, feats, compute_dtype=compute_dtype)
             return feats, cross
 
