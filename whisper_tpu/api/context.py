@@ -104,6 +104,32 @@ class Context:
         mel = streamer.finalize()
         return self._run_full_impl(params, mel)
 
+    def run_capture(self, params: Optional[FullParams], source, capture_params=None,
+                    on_status=None, should_cancel=None) -> TranscribeResult:
+        """Real-time capture transcription (runCapture analogue,
+        ContextImpl.capture.cpp:398-429). ``source`` is an iterable of
+        float32 mono chunks @ 16 kHz (e.g. audio.capture.sounddevice_source)."""
+        from whisper_tpu.audio.capture import CaptureParams, CaptureRunner
+
+        params = params or full_default_params()
+        all_segments: list[Segment] = []
+
+        def on_transcribe(pcm: np.ndarray):
+            # each VAD-segmented buffer is one runFull (capture.cpp:360-365);
+            # results accumulate across buffers
+            res = self.run_full(params, pcm)
+            all_segments.extend(res.segments)
+
+        runner = CaptureRunner(
+            on_transcribe,
+            capture_params or CaptureParams(),
+            on_status=on_status,
+            should_cancel=should_cancel,
+        )
+        runner.run(source)
+        self.result_all = all_segments
+        return TranscribeResult(segments=list(all_segments))
+
     # ------------------------------------------------------------------
     # the main loop
     # ------------------------------------------------------------------
