@@ -1,0 +1,78 @@
+"""Batched scheduler: N utterances together must equal N sequential runs."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    from tests.helpers import TINY_TEST_DIMS, make_random_checkpoint
+    from whisper_tpu.api.model import Model
+    from whisper_tpu.model.params import DtypePolicy
+
+    path = str(tmp_path_factory.mktemp("bt") / "tiny.bin")
+    make_random_checkpoint(path, TINY_TEST_DIMS, seed=40)
+    return Model(path, policy=DtypePolicy.f32())
+
+
+def _clips(n, seconds=6):
+    rng = np.random.default_rng(99)
+    return [
+        (0.1 * rng.standard_normal(16_000 * seconds)).astype(np.float32)
+        for _ in range(n)
+    ]
+
+
+def test_batch_matches_sequential(model):
+    from whisper_tpu.api.params import Flags, full_default_params
+    from whisper_tpu.runtime.batch import BatchTranscriber
+
+    clips = _clips(3)
+    params = full_default_params()
+    params.flags = Flags.NONE
+
+    seq = []
+    for c in clips:
+        ctx = model.create_context()
+        seq.append(ctx.run_full(params, c))
+
+    bt = BatchTranscriber(model, batch=3)
+    got = bt.transcribe(clips, params)
+
+    assert len(got) == len(seq)
+    for a, b in zip(got, seq):
+        assert [s.text for s in a.segments] == [s.text for s in b.segments]
+        assert [(s.t0, s.t1) for s in a.segments] == [(s.t0, s.t1) for s in b.segments]
+
+
+def test_batch_mixed_lengths_and_refill(model):
+    from whisper_tpu.api.params import Flags, full_default_params
+    from whisper_tpu.runtime.batch import BatchTranscriber
+
+    rng = np.random.default_rng(7)
+    clips = [
+        (0.1 * rng.standard_normal(16_000 * s)).astype(np.float32)
+        for s in (4, 9, 2, 6, 5)
+    ]
+    params = full_default_params()
+    params.flags = Flags.NONE
+
+    bt = BatchTranscriber(model, batch=2)  # forces refill rounds
+    got = bt.transcribe(clips, params)
+    assert len(got) == 5
+
+    # sequential comparison for two of them
+    for idx in (0, 3):
+        ctx = model.create_context()
+        want = ctx.run_full(params, clips[idx])
+        assert [s.text for s in got[idx].segments] == [s.text for s in want.segments]
+
+
+def test_batch_short_clip_empty(model):
+    from whisper_tpu.runtime.batch import BatchTranscriber
+
+    clips = _clips(1, seconds=6) + [np.zeros(4_000, np.float32)]
+    bt = BatchTranscriber(model, batch=2)
+    got = bt.transcribe(clips)
+    assert len(got) == 2
+    assert len(got[1].segments) == 0

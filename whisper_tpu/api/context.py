@@ -163,16 +163,7 @@ class Context:
         if not (0 < audio_ctx <= dims.n_audio_ctx):
             raise ValueError(f"audio_ctx {audio_ctx} out of range")
 
-        # task/language prompt head (ContextImpl.cpp:491-512)
-        prompt_init = [vocab.token_sot]
-        if vocab.multilingual:
-            lang_id = find_language_id(params.language)
-            if lang_id < 0:
-                raise ValueError(f"unknown language {params.language!r}")
-            prompt_init.append(vocab.token_sot + 1 + lang_id)
-            prompt_init.append(
-                vocab.token_translate if params.flag(Flags.TRANSLATE) else vocab.token_transcribe
-            )
+        prompt_init = self.build_prompt_init(params)
 
         # zero-pad mel so any [seek, seek+window) slice is in range
         window = 2 * audio_ctx
@@ -199,14 +190,7 @@ class Context:
                 mel_win = mel_padded[None, :, seek : seek + window]
                 _, cross_kv = self.runtime.encode_window(mel_win)
 
-            # prompt assembly (ContextImpl.cpp:562-576)
-            prompt: list[int] = []
-            if self.prompt_past:
-                n_take = min(params.n_max_text_ctx, dims.n_text_ctx // 2, len(self.prompt_past))
-                prompt = [vocab.token_prev] + self.prompt_past[-n_take:]
-                self.prompt_past = self.prompt_past[-n_take:]
-            prompt += prompt_init
-
+            prompt = self._build_prompt(params, prompt_init)
             padded = np.zeros((1, cap), np.int32)
             padded[0, : len(prompt)] = prompt
 
@@ -226,30 +210,61 @@ class Context:
                 # one host transfer per window
                 res = {k: np.asarray(v) for k, v in res._asdict().items()}
 
-            if bool(res["failed"][0]):
-                # "failed to generate timestamp token - skipping one second"
-                seek += 100
-                continue
-
-            result_len = int(res["result_len"][0])
-            seek_delta = int(res["seek_delta"][0])
-            tokens_cur = [
-                _TokenData(
-                    res["tokens"][0, i], res["p"][0, i], res["pt"][0, i],
-                    res["ptsum"][0, i], res["tid"][0, i],
-                )
-                for i in range(result_len)
-            ]
-
-            for t in tokens_cur:
-                self.prompt_past.append(t.id)
-
-            self._assemble_segments(params, tokens_cur, seek, seek_delta)
-            seek += seek_delta
+            seek = self.apply_window_result(params, res, seek, lane=0)
 
         if params.progress_callback:
             params.progress_callback(1.0)
         return TranscribeResult(segments=list(self.result_all))
+
+    # ------------------------------------------------------------------
+    # per-window steps (shared with the batched scheduler, runtime/batch.py)
+    # ------------------------------------------------------------------
+
+    def build_prompt_init(self, params: FullParams) -> list[int]:
+        """SOT (+language)(+task) head (ContextImpl.cpp:491-512)."""
+        vocab = self.vocab
+        prompt_init = [vocab.token_sot]
+        if vocab.multilingual:
+            lang_id = find_language_id(params.language)
+            if lang_id < 0:
+                raise ValueError(f"unknown language {params.language!r}")
+            prompt_init.append(vocab.token_sot + 1 + lang_id)
+            prompt_init.append(
+                vocab.token_translate if params.flag(Flags.TRANSLATE) else vocab.token_transcribe
+            )
+        return prompt_init
+
+    def _build_prompt(self, params: FullParams, prompt_init: list[int]) -> list[int]:
+        """[_PREV_] + tail of accumulated context + head (ContextImpl.cpp:562-576)."""
+        vocab = self.vocab
+        dims = self.runtime.dims
+        prompt: list[int] = []
+        if self.prompt_past:
+            n_take = min(params.n_max_text_ctx, dims.n_text_ctx // 2, len(self.prompt_past))
+            prompt = [vocab.token_prev] + self.prompt_past[-n_take:]
+            self.prompt_past = self.prompt_past[-n_take:]
+        return prompt + prompt_init
+
+    def apply_window_result(self, params: FullParams, res: dict, seek: int, lane: int) -> int:
+        """Consume one lane of a (host-side) WindowResult dict: failure skip,
+        prompt_past growth, segment assembly. Returns the advanced seek."""
+        if bool(res["failed"][lane]):
+            # "failed to generate timestamp token - skipping one second"
+            return seek + 100
+
+        result_len = int(res["result_len"][lane])
+        seek_delta = int(res["seek_delta"][lane])
+        tokens_cur = [
+            _TokenData(
+                res["tokens"][lane, i], res["p"][lane, i], res["pt"][lane, i],
+                res["ptsum"][lane, i], res["tid"][lane, i],
+            )
+            for i in range(result_len)
+        ]
+        for t in tokens_cur:
+            self.prompt_past.append(t.id)
+        self._assemble_segments(params, tokens_cur, seek, seek_delta)
+        return seek + seek_delta
 
     # ------------------------------------------------------------------
     # segment assembly (ContextImpl.cpp:689-784)
