@@ -26,6 +26,7 @@ import numpy as np
 MODEL = os.environ.get("BENCH_MODEL", "large-v2")
 DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # secondary throughput metric
 BASELINE_RTF = 7.22  # reference large on 1080 Ti
 
 
@@ -113,6 +114,31 @@ def main():
 
     best = min(run_once(measure=True) for _ in range(2))
     rtf = audio_s / best
+
+    if BATCH > 1:
+        # secondary: batched throughput (N windows per dispatch)
+        bp = np.tile(padded, (BATCH, 1))
+        bl = np.tile(plen, BATCH)
+        bseek = np.zeros((BATCH,), np.int32)
+        bend = np.full((BATCH,), 10**7, np.int32)
+        mel = np.asarray(mel_engine(audio[: 16_000 * 30]))
+        mel_b = np.tile(mel[None, :, :N_FRAMES], (BATCH, 1, 1))
+
+        def batched_round():
+            _, cross = rt.encode_window(mel_b)
+            res = rt.run_window(bp, bl, cross, bseek, bend, force_steps=DECODE_TOKENS)
+            jax.block_until_ready(res.tokens)
+
+        batched_round()  # compile
+        t1 = time.perf_counter()
+        rounds = 3
+        for _ in range(rounds):
+            batched_round()
+        dt = (time.perf_counter() - t1) / rounds
+        log(
+            f"batched throughput: batch={BATCH}, {30*BATCH/dt:.1f} audio_s/s "
+            f"({dt*1e3:.0f} ms/round, {dt*1e3/DECODE_TOKENS:.2f} ms/token-step)"
+        )
     print(
         json.dumps(
             {

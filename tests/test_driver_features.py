@@ -1,0 +1,114 @@
+"""Driver feature coverage: multilingual prompts, context carry-over,
+audio_ctx override, streamed path, logger, devices."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ml_model(tmp_path_factory):
+    from tests.helpers import MULTILINGUAL_TEST_DIMS, make_random_checkpoint
+    from whisper_tpu.api.model import Model
+    from whisper_tpu.model.params import DtypePolicy
+
+    path = str(tmp_path_factory.mktemp("ml") / "ml.bin")
+    make_random_checkpoint(path, MULTILINGUAL_TEST_DIMS, seed=50)
+    return Model(path, policy=DtypePolicy.f32())
+
+
+def test_multilingual_prompt_head(ml_model):
+    from whisper_tpu.api.params import Flags, FullParams
+
+    ctx = ml_model.create_context()
+    v = ml_model.vocab
+    p = ctx.build_prompt_init(FullParams(language="de"))
+    assert p == [v.token_sot, v.token_sot + 1 + 2, v.token_transcribe]
+    p = ctx.build_prompt_init(FullParams(language="ja", flags=Flags.TRANSLATE))
+    assert p == [v.token_sot, v.token_sot + 1 + 7, v.token_translate]
+    with pytest.raises(ValueError):
+        ctx.build_prompt_init(FullParams(language="zz"))
+
+
+def test_english_model_prompt_head(tmp_path):
+    from tests.helpers import TINY_TEST_DIMS, make_random_checkpoint
+    from whisper_tpu.api.model import Model
+    from whisper_tpu.api.params import FullParams
+    from whisper_tpu.model.params import DtypePolicy
+
+    path = str(tmp_path / "en.bin")
+    make_random_checkpoint(path, TINY_TEST_DIMS, seed=51)
+    m = Model(path, policy=DtypePolicy.f32())
+    ctx = m.create_context()
+    assert ctx.build_prompt_init(FullParams(language="en")) == [m.vocab.token_sot]
+
+
+def test_prompt_carry_over_and_no_context(ml_model):
+    from whisper_tpu.api.params import Flags, FullParams
+
+    ctx = ml_model.create_context()
+    ctx.prompt_past = [11, 22, 33]
+    prompt = ctx._build_prompt(FullParams(language="en"), [ml_model.vocab.token_sot])
+    assert prompt[0] == ml_model.vocab.token_prev
+    assert prompt[1:4] == [11, 22, 33]
+
+    # NoContext clears carry-over inside run_full
+    rng = np.random.default_rng(0)
+    audio = (0.05 * rng.standard_normal(16_000 * 4)).astype(np.float32)
+    params = FullParams(language="en", flags=Flags.NO_CONTEXT)
+    ctx.prompt_past = [1, 2, 3]
+    ctx.run_full(params, audio)
+    # whatever was decoded, the preset past must have been dropped
+    assert 1 not in ctx.prompt_past[:1]
+
+
+def test_initial_prompt_tokens(ml_model):
+    from whisper_tpu.api.params import FullParams
+
+    rng = np.random.default_rng(1)
+    audio = (0.05 * rng.standard_normal(16_000 * 4)).astype(np.float32)
+    ctx = ml_model.create_context()
+    params = FullParams(language="en", prompt_tokens=[7, 8, 9])
+    ctx.run_full(params, audio)  # must not raise; tokens prepended to past
+
+
+def test_audio_ctx_override(ml_model):
+    from whisper_tpu.api.params import FullParams
+
+    rng = np.random.default_rng(2)
+    audio = (0.05 * rng.standard_normal(16_000 * 4)).astype(np.float32)
+    ctx = ml_model.create_context()
+    res = ctx.run_full(FullParams(language="en", audio_ctx=48), audio)
+    assert isinstance(res.segments, list)
+    with pytest.raises(ValueError):
+        ctx.run_full(FullParams(language="en", audio_ctx=10_000), audio)
+
+
+def test_run_streamed_matches_reference_mode(ml_model):
+    """Streamed path smoke: chunked reader -> MelStreamer -> same driver."""
+    from whisper_tpu.api.params import FullParams
+    from whisper_tpu.audio.load import ChunkedReader
+
+    rng = np.random.default_rng(3)
+    audio = (0.05 * rng.standard_normal(16_000 * 4)).astype(np.float32)
+    ctx = ml_model.create_context()
+    res = ctx.run_streamed(FullParams(language="en"), ChunkedReader(audio))
+    assert isinstance(res.segments, list)
+
+
+def test_logger_sink():
+    from whisper_tpu.obs.logging import LogLevel, logger, setup_logger
+
+    seen = []
+    setup_logger(LogLevel.DEBUG, sink=lambda lvl, msg: seen.append((lvl, msg)))
+    logger.debug("hello %s", "world")
+    logger.error("boom")
+    assert (int(LogLevel.DEBUG), "hello world") in seen
+    assert (int(LogLevel.ERROR), "boom") in seen
+
+
+def test_list_devices():
+    from whisper_tpu.api.devices import list_devices
+
+    devs = list_devices()
+    assert len(devs) == 8  # virtual CPU mesh from conftest
+    assert all(d.platform == "cpu" for d in devs)
