@@ -80,3 +80,79 @@ def test_encoder_with_pallas_matches_reference_path(jnp):
                kernels=KernelConfig(flash_attention=True, interpret=True))
     )
     assert np.max(np.abs(got - ref)) < 1e-4
+
+
+def test_decode_attention_matches_einsum(jnp):
+    from whisper_tpu.kernels.decode_attention import decode_attention
+
+    rng = np.random.default_rng(5)
+    B, H, Dh, S = 2, 4, 64, 150
+    q = rng.standard_normal((B, H, Dh)).astype(np.float32) * 0.3
+    k = rng.standard_normal((B, S, H, Dh)).astype(np.float32) * 0.3
+    v = rng.standard_normal((B, S, H, Dh)).astype(np.float32)
+
+    def ref(q, k, v, valid=None):
+        s = np.einsum("bhd,bshd->bhs", q, k)
+        if valid is not None:
+            for b in range(B):
+                s[b, :, valid[b]:] = -np.inf
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        return np.einsum("bhs,bshd->bhd", p, v)
+
+    kt = np.ascontiguousarray(k.transpose(0, 2, 3, 1))
+    vt = np.ascontiguousarray(v.transpose(0, 2, 3, 1))
+
+    got = np.asarray(decode_attention(
+        jnp.asarray(q), jnp.asarray(kt), jnp.asarray(vt), interpret=True))
+    assert np.max(np.abs(got - ref(q, k, v))) < 1e-5
+
+    valid = np.array([37, 150], np.int32)
+    got = np.asarray(decode_attention(
+        jnp.asarray(q), jnp.asarray(kt), jnp.asarray(vt),
+        jnp.asarray(valid), interpret=True))
+    assert np.max(np.abs(got - ref(q, k, v, valid))) < 1e-5
+
+
+def test_decode_window_with_pallas_cross_matches_einsum_path(jnp):
+    """Full on-device window loop: pallas cross-attention (interpret) must
+    produce identical tokens to the einsum path."""
+    import tempfile, os
+
+    from tests.helpers import TINY_TEST_DIMS, make_random_checkpoint, make_vocab_words
+    from whisper_tpu.config import KernelConfig
+    from whisper_tpu.ggml import load_checkpoint
+    from whisper_tpu.model.params import DtypePolicy, params_from_checkpoint
+    from whisper_tpu.runtime.context import WhisperRuntime
+    from whisper_tpu.runtime.sampler import SpecialIds
+    from whisper_tpu.vocab import Vocabulary
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.bin")
+        make_random_checkpoint(path, TINY_TEST_DIMS, seed=13)
+        cp = load_checkpoint(path)
+    params = params_from_checkpoint(cp, DtypePolicy.f32())
+    vocab = Vocabulary(make_vocab_words(cp.dims.n_vocab), cp.dims.n_vocab)
+    ids = SpecialIds.from_vocab(vocab)
+
+    rng = np.random.default_rng(17)
+    mel = rng.standard_normal((1, 80, 2 * cp.dims.n_audio_ctx)).astype(np.float32)
+
+    results = {}
+    for name, kcfg in (
+        ("einsum", KernelConfig.reference()),
+        ("pallas", KernelConfig(flash_attention=True, interpret=True)),
+    ):
+        rt = WhisperRuntime(params, cp.dims, ids, compute_dtype=jnp.float32, kernels=kcfg)
+        _, cross = rt.encode_window(mel)
+        padded = np.zeros((1, rt.prompt_capacity), np.int32)
+        padded[0, 0] = ids.sot
+        res = rt.run_window(
+            padded, np.ones((1,), np.int32), cross,
+            np.zeros((1,), np.int32), np.full((1,), 10**6, np.int32),
+        )
+        results[name] = (
+            list(np.asarray(res.tokens)[0][: int(np.asarray(res.result_len)[0])]),
+            bool(np.asarray(res.failed)[0]),
+        )
+    assert results["einsum"] == results["pallas"]

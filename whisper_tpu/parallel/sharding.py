@@ -23,11 +23,9 @@ from whisper_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 # leaf name -> PartitionSpec (stacked [L, ...] tensors)
 _BLOCK_RULES = {
-    "q_w": P(None, None, MODEL_AXIS),
-    "q_b": P(None, MODEL_AXIS),
-    "k_w": P(None, None, MODEL_AXIS),
-    "v_w": P(None, None, MODEL_AXIS),
-    "v_b": P(None, MODEL_AXIS),
+    # fused head-major QKV: splitting the 3d axis assigns whole heads/chip
+    "qkv_w": P(None, None, MODEL_AXIS),
+    "qkv_b": P(None, MODEL_AXIS),
     "o_w": P(None, MODEL_AXIS, None),
     "o_b": P(None),
     "xq_w": P(None, None, MODEL_AXIS),

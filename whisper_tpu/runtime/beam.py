@@ -80,11 +80,12 @@ def _masked_logprobs(logits, ids: SpecialIds, is_initial):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "ids", "beam", "n_max", "compute_dtype")
+    jax.jit,
+    static_argnames=("dims", "ids", "beam", "n_max", "compute_dtype", "kernels"),
 )
 def _beam_window(
     params, dims, ids: SpecialIds, prompt, prompt_len, cross_kv, beam, n_max,
-    compute_dtype,
+    compute_dtype, kernels=None,
 ):
     v = dims.n_vocab
     p_max = prompt.shape[1]
@@ -98,7 +99,7 @@ def _beam_window(
     )
     logits0, kv = decode_step(
         params, dims, prompt_b, jnp.zeros((beam,), jnp.int32), kv, cross_b,
-        compute_dtype=compute_dtype, logits_row=plen_b - 1,
+        compute_dtype=compute_dtype, logits_row=plen_b - 1, kernels=kernels,
     )
 
     st = _BeamState(
@@ -157,6 +158,7 @@ def _beam_window(
         logits, kv = decode_step(
             params, dims, token[:, None], n_past, kv, cross_b,
             compute_dtype=compute_dtype, logits_row=jnp.zeros((beam,), jnp.int32),
+            kernels=kernels,
         )
         return _BeamState(
             i=i + 1, kv=kv, logits=logits, scores=top_scores,
@@ -227,7 +229,7 @@ def decode_window_beam(runtime, params, prompt, prompt_len, cross_kv, seek, seek
     tokens, p, pt, ptsum, tid, length, steps = _beam_window(
         runtime.params, dims, runtime.ids,
         jnp.asarray(prompt, jnp.int32), jnp.int32(prompt_len), cross_kv,
-        beam, n_max, runtime.compute_dtype,
+        beam, n_max, runtime.compute_dtype, runtime.kernels,
     )
     tokens = np.asarray(tokens)
     length = int(length)

@@ -65,7 +65,7 @@ class WhisperRuntime:
                 params, dims, special_ids, prompt, prompt_len, kv, cross_kv,
                 seek, seek_end, max_tokens=max_tokens,
                 single_segment=single_segment, compute_dtype=compute_dtype,
-                force_steps=force_steps,
+                force_steps=force_steps, kernels=kcfg,
             )
 
         self._encode_window = _encode_window

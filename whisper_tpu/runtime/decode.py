@@ -80,6 +80,7 @@ def decode_window(
     single_segment: bool = False,
     compute_dtype=jnp.bfloat16,
     force_steps: int = 0,
+    kernels=None,
 ) -> WindowResult:
     """``force_steps > 0`` is a benchmarking mode: termination rules are
     bypassed and exactly that many decode steps run — random-weight benches
@@ -92,7 +93,7 @@ def decode_window(
     zeros = jnp.zeros((b,), jnp.int32)
     logits0, kv = decode_step(
         params, dims, prompt, zeros, self_kv, cross_kv,
-        compute_dtype=compute_dtype, logits_row=prompt_len - 1,
+        compute_dtype=compute_dtype, logits_row=prompt_len - 1, kernels=kernels,
     )
 
     st = _LoopState(
@@ -171,6 +172,7 @@ def decode_window(
         logits, kv = decode_step(
             params, dims, out.id[:, None], st.n_past,
             st.kv, cross_kv, compute_dtype=compute_dtype, logits_row=zeros,
+            kernels=kernels,
         )
         n_past = jnp.where(rec, st.n_past + 1, st.n_past)
 

@@ -36,9 +36,7 @@ def make_synthetic_params(
     def enc_blocks(n_layer):
         return {
             "attn_ln_w": ones((n_layer, d)), "attn_ln_b": zeros((n_layer, d)),
-            "q_w": nrm((n_layer, d, d), param_dtype), "q_b": zeros((n_layer, d)),
-            "k_w": nrm((n_layer, d, d), param_dtype),
-            "v_w": nrm((n_layer, d, d), param_dtype), "v_b": zeros((n_layer, d)),
+            "qkv_w": nrm((n_layer, d, 3 * d), param_dtype), "qkv_b": zeros((n_layer, 3 * d)),
             "o_w": nrm((n_layer, d, d), param_dtype), "o_b": zeros((n_layer, d)),
             "mlp_ln_w": ones((n_layer, d)), "mlp_ln_b": zeros((n_layer, d)),
             "fc1_w": nrm((n_layer, d, 4 * d), param_dtype), "fc1_b": zeros((n_layer, 4 * d)),
