@@ -30,22 +30,18 @@ import jax
 import jax.numpy as jnp
 
 from whisper_tpu.hparams import ModelDims
-from whisper_tpu.model.layers import (
-    attention,
-    dense,
-    layer_norm,
-    gelu,
-    merge_heads,
-    qkv_proj,
-    split_heads,
-)
+from whisper_tpu.model.layers import dense, gelu, layer_norm, qkv_proj
 
 
 class SelfKV(NamedTuple):
-    """Preallocated self-attention cache (KeyValueBuffers.h:7-53 analogue)."""
+    """Preallocated self-attention cache (KeyValueBuffers.h:7-53 analogue).
 
-    k: jax.Array  # [L, B, C, H, Dh]
-    v: jax.Array  # [L, B, C, H, Dh]
+    TRANSPOSED layout [L, B, H*Dh, C] (features-major, like the cross KV):
+    appends write a column, and single-token attention streams [Dh, C]
+    tiles through the decode-attention kernel."""
+
+    k: jax.Array  # [L, B, HD, C]
+    v: jax.Array  # [L, B, HD, C]
 
 
 def init_self_kv(
@@ -54,20 +50,20 @@ def init_self_kv(
     shape = (
         dims.n_text_layer,
         batch,
+        dims.n_text_state,
         cache_len or dims.n_text_ctx,
-        dims.n_text_head,
-        dims.n_text_state // dims.n_text_head,
     )
     return SelfKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
 def _cache_append(cache: jax.Array, new: jax.Array, n_past: jax.Array) -> jax.Array:
-    """Per-lane KV append: cache [B,C,H,Dh], new [B,S,H,Dh], n_past [B]."""
+    """Per-lane KV column append: cache [B,HD,C], new [B,S,HD], n_past [B]."""
+    new_t = new.transpose(0, 2, 1)  # [B, HD, S]
 
     def one(c, n, p):
-        return jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+        return jax.lax.dynamic_update_slice(c, n, (0, p))
 
-    return jax.vmap(one)(cache, new, n_past)
+    return jax.vmap(one)(cache, new_t, n_past)
 
 
 def _cross_attention(h, blk, xk, xv, n_head, compute_dtype, kernels):
@@ -97,28 +93,48 @@ def _cross_attention(h, blk, xk, xv, n_head, compute_dtype, kernels):
     return out.reshape(b, s, d)
 
 
+def _self_attention(q, k_cache, v_cache, n_past, n_head, compute_dtype, kernels):
+    """Masked self-attention over the transposed cache [B, HD, C].
+    q [B,S,H,Dh]; queries sit at positions n_past..n_past+S-1.
+    Returns [B, S, d] f32."""
+    b, s, h, dh = q.shape
+    d = h * dh
+    cache_len = k_cache.shape[-1]
+    use_kernel = s == 1 and kernels is not None and kernels.flash_attention
+    if use_kernel:
+        from whisper_tpu.kernels.decode_attention import decode_attention_hd
+
+        out = decode_attention_hd(
+            q.reshape(b, 1, d).transpose(0, 2, 1), k_cache, v_cache, n_head,
+            valid_len=n_past + 1, interpret=kernels.interpret,
+        )                                                      # [B, HD, 1]
+        return out.transpose(0, 2, 1)                          # [B, 1, d] f32
+    k4 = k_cache.reshape(b, h, dh, cache_len)
+    v4 = v_cache.reshape(b, h, dh, cache_len)
+    scores = jnp.einsum("bthd,bhds->bhts", q, k4, preferred_element_type=jnp.float32)
+    key_idx = jnp.arange(cache_len)[None, None, None, :]           # [1,1,1,C]
+    q_pos = (n_past[:, None] + jnp.arange(s)[None, :])[:, None, :, None]  # [B,1,S,1]
+    scores = jnp.where(key_idx <= q_pos, scores, jnp.float32(-1e30))
+    p = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    out = jnp.einsum("bhts,bhds->bthd", p, v4, preferred_element_type=jnp.float32)
+    return out.reshape(b, s, d)
+
+
 def _decoder_block(x, blk, kv, n_past, xk, xv, n_head, compute_dtype, kernels=None):
-    """One decoder block. x [B,S,d]; kv ([B,C,H,Dh], [B,C,H,Dh]);
+    """One decoder block. x [B,S,d]; kv ([B,HD,C], [B,HD,C]) transposed;
     xk/xv [B,HD,Sx] (transposed); n_past [B]. Returns (x, new_kv)."""
     b, s, d = x.shape
-    cache_len = kv[0].shape[1]
 
     # --- masked self-attention with KV append (scales folded at load) ---
     h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(compute_dtype)
     q, k_new, v_new = qkv_proj(h, blk["qkv_w"], blk["qkv_b"], n_head)
     q = q.astype(compute_dtype)
-    k_new = k_new.astype(compute_dtype)
-    v_new = v_new.astype(compute_dtype)
 
-    k_cache = _cache_append(kv[0], k_new, n_past)
-    v_cache = _cache_append(kv[1], v_new, n_past)
+    k_cache = _cache_append(kv[0], k_new.reshape(b, s, d).astype(compute_dtype), n_past)
+    v_cache = _cache_append(kv[1], v_new.reshape(b, s, d).astype(compute_dtype), n_past)
 
-    # query row i (global position n_past+i) may attend cache slots <= n_past+i
-    key_idx = jnp.arange(cache_len)[None, None, :]            # [1, 1, C]
-    q_pos = n_past[:, None, None] + jnp.arange(s)[None, :, None]  # [B, S, 1]
-    mask = (key_idx <= q_pos)[:, None, :, :]                  # [B, 1, S, C]
-    att = attention(q, k_cache, v_cache, mask=mask, compute_dtype=compute_dtype)
-    x = x + dense(merge_heads(att).astype(compute_dtype), blk["o_w"], blk["o_b"]).astype(compute_dtype)
+    att = _self_attention(q, k_cache, v_cache, n_past, n_head, compute_dtype, kernels)
+    x = x + dense(att.astype(compute_dtype), blk["o_w"], blk["o_b"]).astype(compute_dtype)
 
     # --- cross-attention over precomputed (pre-scaled, transposed) kvCross ---
     h = layer_norm(x, blk["x_ln_w"], blk["x_ln_b"]).astype(compute_dtype)
@@ -137,8 +153,8 @@ def decode_step(
     dims: ModelDims,
     tokens: jax.Array,        # [B, S] int32
     n_past: jax.Array,        # [B] int32
-    self_kv: SelfKV,          # [L, B, C, H, Dh] x2
-    cross_kv: tuple[jax.Array, jax.Array],  # [L, B, Sx, H, Dh] x2
+    self_kv: SelfKV,          # [L, B, HD, C] x2 (transposed)
+    cross_kv: tuple[jax.Array, jax.Array],  # [L, B, HD, Sx] x2 (transposed)
     compute_dtype=jnp.bfloat16,
     logits_row: jax.Array | None = None,  # [B] row to project; None = all rows
     kernels=None,

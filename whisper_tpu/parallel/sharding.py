@@ -79,5 +79,6 @@ def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
 
 
 def kv_sharding(mesh: Mesh) -> NamedSharding:
-    """[L, B, C, H, Dh] KV caches: batch on data, heads on model."""
-    return NamedSharding(mesh, P(None, DATA_AXIS, None, MODEL_AXIS, None))
+    """[L, B, HD, C] transposed KV caches: batch on data, features (head-major
+    rows) on model."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, MODEL_AXIS, None))
