@@ -372,8 +372,23 @@ class Context:
         return detect_speaker(self._stereo, t0, t1)
 
     def timings_print(self) -> str:
-        """timingsPrint analogue (ContextImpl.misc.cpp:170-188)."""
-        report = self.profiler.report()
+        """timingsPrint analogue (ContextImpl.misc.cpp:170-188): host phases,
+        RTF, and device memory."""
+        from whisper_tpu.obs.profiler import device_memory_stats
+
+        lines = [self.profiler.report()]
+        total = self.profiler.get("run_complete")
+        if total > 0 and self._mel_len:
+            audio_s = self._mel_len / 100.0
+            lines.append(
+                f"audio: {audio_s:.1f}s in {total:.2f}s -> RTF {audio_s/total:.2f}"
+            )
+        for dev, stats in device_memory_stats().items():
+            lines.append(
+                f"device {dev}: {stats['bytes_in_use']/1e9:.2f} GB in use, "
+                f"peak {stats['peak_bytes_in_use']/1e9:.2f} GB"
+            )
+        report = "\n".join(lines)
         print(report)
         return report
 

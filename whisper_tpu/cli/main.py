@@ -34,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ovtt", "--output-vtt", action="store_true")
     p.add_argument("-ocsv", "--output-csv", action="store_true")
     p.add_argument("-ps", "--print-special", action="store_true")
-    p.add_argument("-pc", "--print-colors", action="store_true", help="(accepted, ignored)")
+    p.add_argument("-pc", "--print-colors", action="store_true",
+                   help="color tokens by probability")
     p.add_argument("-nf", "--no-fallback", action="store_true", help="(accepted, ignored)")
     p.add_argument("--stream", action="store_true", help="use the chunked/streamed mel path")
     p.add_argument("--prompt", default=None, help="initial prompt text")
@@ -91,15 +92,30 @@ def main(argv=None) -> int:
 
         ctx = model.create_context()
 
+        # probability -> 256-color ramp (reference Examples/main/main.cpp:25-51)
+        k_colors = [196, 202, 208, 214, 220, 226, 190, 154, 118, 82]
+
+        def colorize(tok):
+            col = k_colors[max(0, min(9, int(tok.probability ** 3 * 10)))]
+            return f"\033[38;5;{col}m{tok.text}\033[0m"
+
+        def seg_text(seg):
+            if args.print_colors:
+                return "".join(
+                    colorize(t) for t in seg.tokens
+                    if params.flag(Flags.PRINT_SPECIAL) or not t.flags
+                )
+            return seg.text
+
         def on_segment(c, n_new):
             for seg in c.result_all[-n_new:]:
                 if params.flag(Flags.PRINT_TIMESTAMPS):
                     spk = ""
                     if args.diarize:
                         spk = f" (speaker {seg.speaker.name})"
-                    print(f"[{_ts(seg.t0)} --> {_ts(seg.t1)}] {spk} {seg.text.strip()}")
+                    print(f"[{_ts(seg.t0)} --> {_ts(seg.t1)}] {spk} {seg_text(seg).strip()}")
                 else:
-                    print(seg.text, end="", flush=True)
+                    print(seg_text(seg), end="", flush=True)
 
         params.new_segment_callback = on_segment
 

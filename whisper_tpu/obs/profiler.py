@@ -69,6 +69,19 @@ class Profiler:
         return "\n".join(lines)
 
 
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace scope — the RenderDoc/GPU-timestamp analogue
+    (SURVEY.md §5.1). View with tensorboard or xprof."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 def device_memory_stats() -> dict:
     """HBM usage per device (getMemoryUse analogue)."""
     import jax
