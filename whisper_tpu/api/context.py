@@ -92,17 +92,50 @@ class Context:
 
             return self._run_full_impl(params, mel)
 
-    def run_streamed(self, params: Optional[FullParams], reader) -> TranscribeResult:
+    def run_streamed(self, params: Optional[FullParams], reader,
+                     total_frames: Optional[int] = None) -> TranscribeResult:
         """Transcribe from a chunked audio reader (runStreamed analogue,
-        ContextImpl.misc.cpp:391-419). ``reader`` yields float32 mono chunks."""
+        ContextImpl.misc.cpp:391-419). ``reader`` yields float32 mono chunks;
+        mel is computed INCREMENTALLY and each 30 s window decodes as soon as
+        its frames are buffered (MelStreamer semantics, MelStreamer.cpp:
+        125-180). ``total_frames``: known stream length in mel frames
+        (duration estimate); inferred at EOF otherwise."""
         from whisper_tpu.features.stream import MelStreamer
 
         params = params or full_default_params()
         streamer = MelStreamer(self.model.mel)
-        for chunk in reader:
-            streamer.append(np.asarray(chunk, np.float32))
-        mel = streamer.finalize()
-        return self._run_full_impl(params, mel)
+        it = iter(reader)
+
+        class _StreamSource:
+            """iSpectrogram-style lazy window provider (iSpectrogram.h:12-45)."""
+
+            def __init__(self):
+                self.eof = False
+                self.n_len = total_frames
+
+            def _pull_until(self, frames_needed: int) -> None:
+                while not self.eof and streamer.n_frames < frames_needed:
+                    try:
+                        streamer.append(np.asarray(next(it), np.float32))
+                    except StopIteration:
+                        self.eof = True
+                        streamer.flush()
+                        self.n_len = streamer.n_frames
+
+            def length_bound(self) -> int:
+                # known duration, or "at least this many" while streaming
+                if self.n_len is not None:
+                    return self.n_len
+                return max(streamer.n_frames, 1)
+
+            def window(self, seek: int, length: int) -> np.ndarray:
+                self._pull_until(seek + length)
+                return streamer.window(seek, length)
+
+        src = _StreamSource()
+        # need at least 1 s to start (ContextImpl.cpp:470-473)
+        src._pull_until(101)
+        return self._run_full_impl(params, src)
 
     def run_capture(self, params: Optional[FullParams], source, capture_params=None,
                     on_status=None, should_cancel=None) -> TranscribeResult:
@@ -134,12 +167,9 @@ class Context:
     # the main loop
     # ------------------------------------------------------------------
 
-    def _run_full_impl(self, params: FullParams, mel: np.ndarray) -> TranscribeResult:
-        vocab = self.vocab
+    def _run_full_impl(self, params: FullParams, mel) -> TranscribeResult:
         dims = self.runtime.dims
         self.result_all = []
-        n_len = mel.shape[1]
-        self._mel_len = n_len
 
         if params.flag(Flags.SPEEDUP_AUDIO):
             raise NotImplementedError(
@@ -147,11 +177,37 @@ class Context:
                 "ContextImpl.cpp:459-463)"
             )
 
+        if isinstance(mel, np.ndarray):
+            mel_arr = mel
+
+            class _DenseSource:
+                eof = True
+
+                def length_bound(self) -> int:
+                    return mel_arr.shape[1]
+
+                def window(self, seek: int, length: int) -> np.ndarray:
+                    out = np.zeros((mel_arr.shape[0], length), mel_arr.dtype)
+                    avail = mel_arr[:, seek : seek + length]
+                    out[:, : avail.shape[1]] = avail
+                    return out
+
+            src = _DenseSource()
+        else:
+            src = mel
+
+        def current_seek_end(seek_start: int) -> int:
+            if params.duration_ms:
+                return seek_start + params.duration_ms // 10
+            if getattr(src, "eof", True):
+                return src.length_bound()
+            return seek_start + 10**9  # unknown-length stream: no EOA yet
+
         seek_start = params.offset_ms // 10
-        seek_end = seek_start + (params.duration_ms // 10 if params.duration_ms else n_len)
+        self._mel_len = src.length_bound()
 
         # skip clips shorter than 1 s (ContextImpl.cpp:470-473)
-        if seek_end < 100 + seek_start:
+        if current_seek_end(seek_start) < 100 + seek_start:
             return TranscribeResult(segments=[])
 
         if params.flag(Flags.NO_CONTEXT):
@@ -164,20 +220,21 @@ class Context:
             raise ValueError(f"audio_ctx {audio_ctx} out of range")
 
         prompt_init = self.build_prompt_init(params)
-
-        # zero-pad mel so any [seek, seek+window) slice is in range
         window = 2 * audio_ctx
-        mel_padded = np.zeros((mel.shape[0], n_len + window), mel.dtype)
-        mel_padded[:, :n_len] = mel
-
         seek = seek_start
         cap = self.runtime.prompt_capacity
 
         while True:
+            with self.profiler.cpu("spectrogram"):
+                # lazy pull: streaming sources buffer mel here
+                mel_win = src.window(seek, window)
+            seek_end = current_seek_end(seek_start)
+            self._mel_len = src.length_bound()
+
             if params.progress_callback:
                 with self.profiler.cpu("callbacks"):
                     params.progress_callback(
-                        (seek - seek_start) / max(1, seek_end - seek_start)
+                        min(1.0, (seek - seek_start) / max(1, seek_end - seek_start))
                     )
             if seek + 100 >= seek_end:
                 break
@@ -187,8 +244,7 @@ class Context:
                         break
 
             with self.profiler.cpu("encode"):
-                mel_win = mel_padded[None, :, seek : seek + window]
-                _, cross_kv = self.runtime.encode_window(mel_win)
+                _, cross_kv = self.runtime.encode_window(mel_win[None])
 
             prompt = self._build_prompt(params, prompt_init)
             padded = np.zeros((1, cap), np.int32)
