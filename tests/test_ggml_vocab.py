@@ -73,3 +73,70 @@ def test_languages():
     assert find_language_id("xx") == -1
     assert language_code(1) == "zh"
     assert len(supported_languages()) == 99
+
+
+def test_f32_checkpoint_roundtrip(tmp_path):
+    """ftype=0 checkpoints (no f16) load exactly."""
+    from tests.helpers import TINY_TEST_DIMS, make_random_checkpoint
+    from whisper_tpu.ggml import load_checkpoint
+
+    path = str(tmp_path / "f32.bin")
+    weights = make_random_checkpoint(path, TINY_TEST_DIMS, seed=2, use_f16=False)
+    cp = load_checkpoint(path)
+    assert cp.dims.ftype == 0
+    for name, ref in weights.items():
+        np.testing.assert_array_equal(cp.tensors[name].data, ref)
+
+
+def test_loader_reshapes_alternate_bias_layout(tmp_path):
+    """Real whisper.cpp files store conv biases as [n, 1] 2-D tensors; the
+    param builder reshapes by element count (WhisperModel.cpp accepts any
+    dims whose product matches)."""
+    from tests.helpers import TINY_TEST_DIMS, make_random_checkpoint
+    from whisper_tpu.ggml import load_checkpoint
+    from whisper_tpu.model.params import DtypePolicy, params_from_checkpoint
+
+    path = str(tmp_path / "alt.bin")
+    make_random_checkpoint(path, TINY_TEST_DIMS, seed=3)
+    cp = load_checkpoint(path)
+    # simulate the 2-D bias layout
+    for name in ("encoder.conv1.bias", "encoder.conv2.bias"):
+        t = cp.tensors[name]
+        t.data = t.data.reshape(-1, 1)
+    params = params_from_checkpoint(cp, DtypePolicy.f32())
+    assert params["enc"]["conv1_b"].shape == (TINY_TEST_DIMS.n_audio_state,)
+
+
+def test_missing_tensor_raises(tmp_path):
+    from tests.helpers import TINY_TEST_DIMS, make_random_checkpoint
+    from whisper_tpu.ggml import load_checkpoint
+    from whisper_tpu.model.params import DtypePolicy, params_from_checkpoint
+
+    path = str(tmp_path / "m.bin")
+    make_random_checkpoint(path, TINY_TEST_DIMS, seed=4)
+    cp = load_checkpoint(path)
+    del cp.tensors["decoder.ln.weight"]
+    with pytest.raises(ValueError, match="decoder.ln.weight"):
+        params_from_checkpoint(cp, DtypePolicy.f32())
+
+
+def test_truncated_file_raises(tmp_path):
+    from tests.helpers import TINY_TEST_DIMS, make_random_checkpoint
+    from whisper_tpu.ggml import load_checkpoint
+
+    path = str(tmp_path / "t.bin")
+    make_random_checkpoint(path, TINY_TEST_DIMS, seed=5)
+    data = open(path, "rb").read()
+    trunc = str(tmp_path / "trunc.bin")
+    open(trunc, "wb").write(data[: len(data) - 1000])
+    with pytest.raises((EOFError, ValueError)):
+        load_checkpoint(trunc)
+
+
+def test_bad_magic_raises(tmp_path):
+    from whisper_tpu.ggml import load_checkpoint
+
+    path = str(tmp_path / "bad.bin")
+    open(path, "wb").write(b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        load_checkpoint(path)
