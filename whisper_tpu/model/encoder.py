@@ -30,23 +30,33 @@ from whisper_tpu.model.layers import (
 )
 
 
+def _unfold3(x, stride: int):
+    """k=3, pad=1 temporal unfold: [B, T, C] -> [B, T//stride, 3C]
+    (tap-major concat matching the [3, in, out] kernel reshape)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    t = x.shape[1]
+    t_out = t // stride
+    taps = [xp[:, k : k + t : stride][:, :t_out] for k in range(3)]
+    return jnp.concatenate(taps, axis=-1)
+
+
 def _conv_stem(enc, mel, compute_dtype):
-    """mel [B, n_mels, 2*T] -> [B, T, d] (channel-last convs on the MXU)."""
+    """mel [B, n_mels, 2*T] -> [B, T, d].
+
+    The k=3 convs are expressed as unfold+matmul ([B,T,3C] @ [3C,d]) instead
+    of lax.conv: XLA's conv lowering runs ~30x slower than the equivalent
+    GEMM at whisper's tiny channel counts (measured on v5e), and one big
+    matmul is exactly what the MXU wants — the same insight as the
+    reference's convolutionPrep im2col shaders (ComputeShaders/
+    convolutionPrep1.hlsl), but with the product fused into a single GEMM.
+    """
     x = mel.astype(compute_dtype).transpose(0, 2, 1)  # [B, 2T, n_mels]
-    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv1_w"].shape, ("NHC", "HIO", "NHC"))
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv1_w"].astype(compute_dtype),
-        window_strides=(1,), padding=((1, 1),), dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    )
-    x = gelu(x + enc["conv1_b"]).astype(compute_dtype)
-    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv2_w"].shape, ("NHC", "HIO", "NHC"))
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv2_w"].astype(compute_dtype),
-        window_strides=(2,), padding=((1, 1),), dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    )
-    return gelu(x + enc["conv2_b"])  # f32 [B, T, d]
+    w1 = enc["conv1_w"].reshape(-1, enc["conv1_w"].shape[-1])  # [3*in, d]
+    y = dense(_unfold3(x, 1), w1.astype(compute_dtype), enc["conv1_b"])
+    x = gelu(y).astype(compute_dtype)                  # [B, 2T, d]
+    w2 = enc["conv2_w"].reshape(-1, enc["conv2_w"].shape[-1])
+    y = dense(_unfold3(x, 2), w2.astype(compute_dtype), enc["conv2_b"])
+    return gelu(y)                                     # f32 [B, T, d]
 
 
 def _encoder_block(x, blk, n_head, compute_dtype, kernels=None):
