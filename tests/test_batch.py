@@ -76,3 +76,23 @@ def test_batch_short_clip_empty(model):
     got = bt.transcribe(clips)
     assert len(got) == 2
     assert len(got[1].segments) == 0
+
+
+def test_batch_single_segment_matches_sequential(model):
+    from whisper_tpu.api.params import Flags, full_default_params
+    from whisper_tpu.runtime.batch import BatchTranscriber
+
+    clips = _clips(2, seconds=4)
+    params = full_default_params()
+    params.flags = Flags.SINGLE_SEGMENT
+
+    seq = []
+    for c in clips:
+        ctx = model.create_context()
+        seq.append(ctx.run_full(params, c))
+
+    got = BatchTranscriber(model, batch=2).transcribe(clips, params)
+    for a, b in zip(got, seq):
+        assert len(a.segments) == len(b.segments) <= 1
+        assert [s.text for s in a.segments] == [s.text for s in b.segments]
+        assert [(s.t0, s.t1) for s in a.segments] == [(s.t0, s.t1) for s in b.segments]

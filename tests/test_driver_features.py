@@ -112,3 +112,29 @@ def test_list_devices():
     devs = list_devices()
     assert len(devs) == 8  # virtual CPU mesh from conftest
     assert all(d.platform == "cpu" for d in devs)
+
+
+def test_speedup_2x_decimation():
+    from whisper_tpu.audio.load import speedup_2x
+
+    x = np.arange(10, dtype=np.float32)
+    y = speedup_2x(x)
+    assert y.shape == (5,)
+    np.testing.assert_allclose(y, [0.5, 2.5, 4.5, 6.5, 8.5])
+    # odd length drops the trailing sample
+    assert speedup_2x(np.arange(7, dtype=np.float32)).shape == (3,)
+
+
+def test_speedup_audio_flag_runs_and_scales_times(ml_model):
+    from whisper_tpu.api.params import Flags, FullParams
+
+    rng = np.random.default_rng(7)
+    audio = (0.05 * rng.standard_normal(16_000 * 4)).astype(np.float32)
+
+    ctx = ml_model.create_context()
+    res = ctx.run_full(FullParams(language="en", flags=Flags.SPEEDUP_AUDIO), audio)
+    # decode ran on 2 s of compressed audio; all times are even (2x-scaled
+    # centisecond grid) and within the REAL clip duration
+    for seg in res.segments:
+        assert seg.t0 % 2 == 0 and seg.t1 % 2 == 0
+        assert 0 <= seg.t0 <= seg.t1 <= 400 + 3000  # window slack

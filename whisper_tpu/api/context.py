@@ -63,6 +63,7 @@ class Context:
         self._energy: Optional[np.ndarray] = None   # signal energy for token ts
         self._stereo: Optional[np.ndarray] = None   # stereo pcm for diarization
         self._mel_len = 0
+        self._time_scale = 1                        # 2 under SpeedupAudio
 
     # ------------------------------------------------------------------
     # public entry points (runFull / runStreamed analogues)
@@ -81,6 +82,13 @@ class Context:
             else:
                 self._stereo = None
                 mono = audio
+
+            if params.flag(Flags.SPEEDUP_AUDIO):
+                # 2x time-compress; the decode runs in compressed time and
+                # _emit_segment scales times back (whisper.cpp:3044-3045).
+                from whisper_tpu.audio.load import speedup_2x
+
+                mono = speedup_2x(mono)
 
             with self.profiler.cpu("spectrogram"):
                 mel = np.asarray(self.model.mel(mono))        # [n_mels, n_len]
@@ -104,6 +112,10 @@ class Context:
 
         params = params or full_default_params()
         streamer = MelStreamer(self.model.mel)
+        if params.flag(Flags.SPEEDUP_AUDIO):
+            from whisper_tpu.audio.load import speedup_2x
+
+            reader = (speedup_2x(chunk) for chunk in reader)
         it = iter(reader)
 
         class _StreamSource:
@@ -171,11 +183,11 @@ class Context:
         dims = self.runtime.dims
         self.result_all = []
 
-        if params.flag(Flags.SPEEDUP_AUDIO):
-            raise NotImplementedError(
-                "SpeedupAudio is not implemented (matches reference GPU path, "
-                "ContextImpl.cpp:459-463)"
-            )
+        # SpeedupAudio: the whole window loop runs in 2x-compressed time
+        # (run_full compressed the PCM); emitted times are scaled back by
+        # _emit_segment. The reference GPU path refuses this flag
+        # (ContextImpl.cpp:459-463); we match its CPU path instead.
+        self._time_scale = 2 if params.flag(Flags.SPEEDUP_AUDIO) else 1
 
         if isinstance(mel, np.ndarray):
             mel_arr = mel
@@ -349,10 +361,12 @@ class Context:
                 for t in tokens
             ],
         )
+        scale = getattr(self, "_time_scale", 1)
         if self._stereo is not None:
             from whisper_tpu.api.diarize import detect_speaker
 
-            seg.speaker = detect_speaker(self._stereo, t0, t1)
+            # stereo PCM is uncompressed — index it with real-time bounds
+            seg.speaker = detect_speaker(self._stereo, t0 * scale, t1 * scale)
         self.result_all.append(seg)
 
         n_new = 1
@@ -369,6 +383,15 @@ class Context:
             )
             if params.max_len > 0:
                 n_new = wrap_segment(self.result_all, params.max_len, vocab)
+        if scale != 1:
+            # SpeedupAudio: decode ran in compressed time; real times are 2x
+            # (reference whisper.cpp:3044-3045, ContextImpl.cpp:708-712)
+            for s in self.result_all[-n_new:]:
+                s.t0 *= scale
+                s.t1 *= scale
+                for t in s.tokens:
+                    t.t0 *= scale
+                    t.t1 *= scale
         if params.new_segment_callback:
             with self.profiler.cpu("callbacks"):
                 params.new_segment_callback(self, n_new)

@@ -39,6 +39,19 @@ def resample_to_16k(pcm: np.ndarray, rate: int) -> np.ndarray:
     return resample_poly(pcm, SAMPLE_RATE // g, rate // g, axis=-1).astype(np.float32)
 
 
+def speedup_2x(pcm: np.ndarray) -> np.ndarray:
+    """Time-compress audio 2x for the SpeedupAudio flag.
+
+    Time-domain analogue of the reference CPU path's frequency-domain bin-pair
+    averaging (``fft_out[j] = 0.5*(fft_out[2j]+fft_out[2j+1])``,
+    Whisper/source/whisper.cpp:2130-2135): a 2-tap boxcar lowpass + decimate.
+    The pitch shifts up an octave, same as the reference.
+    """
+    pcm = np.asarray(pcm, np.float32)
+    n = pcm.shape[-1] // 2 * 2
+    return 0.5 * (pcm[..., 0:n:2] + pcm[..., 1:n:2])
+
+
 def _load_wav(path: str) -> tuple[np.ndarray, int]:
     from scipy.io import wavfile
 

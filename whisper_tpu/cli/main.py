@@ -33,9 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-osrt", "--output-srt", action="store_true")
     p.add_argument("-ovtt", "--output-vtt", action="store_true")
     p.add_argument("-ocsv", "--output-csv", action="store_true")
+    p.add_argument("-owts", "--output-words", action="store_true",
+                   help="output karaoke video script (token timestamps)")
     p.add_argument("-ps", "--print-special", action="store_true")
     p.add_argument("-pc", "--print-colors", action="store_true",
                    help="color tokens by probability")
+    p.add_argument("-su", "--speed-up", action="store_true",
+                   help="speed up audio 2x (reduced accuracy)")
     p.add_argument("-nf", "--no-fallback", action="store_true", help="(accepted, ignored)")
     p.add_argument("--stream", action="store_true", help="use the chunked/streamed mel path")
     p.add_argument("--prompt", default=None, help="initial prompt text")
@@ -65,10 +69,15 @@ def main(argv=None) -> int:
         flags |= Flags.TRANSLATE
     if args.print_special:
         flags |= Flags.PRINT_SPECIAL
-    if args.max_len:
+    if args.max_len or args.output_words:
         flags |= Flags.TOKEN_TIMESTAMPS
+    if args.output_words and args.max_len == 0:
+        # reference Examples/main/main.cpp:279 — wts defaults to 60-char segments
+        args.max_len = 60
     if args.no_timestamps:
         flags &= ~Flags.PRINT_TIMESTAMPS
+    if args.speed_up:
+        flags |= Flags.SPEEDUP_AUDIO
 
     params = FullParams(
         strategy=SamplingStrategy.BEAM_SEARCH if args.beam_size > 0 else SamplingStrategy.GREEDY,
@@ -141,6 +150,13 @@ def main(argv=None) -> int:
                 with open(f"{stem}.{kind}", "w", encoding="utf-8") as f:
                     WRITERS[kind](result, f)
                 print(f"wrote {stem}.{kind}", file=sys.stderr)
+
+        if args.output_words:
+            from whisper_tpu.cli.writers import write_wts
+
+            with open(f"{path}.wts", "w", encoding="utf-8") as f:
+                write_wts(result, f, path, buf.duration_s + 0.0625)
+            print(f"wrote {path}.wts", file=sys.stderr)
 
         if args.timings:
             ctx.timings_print()

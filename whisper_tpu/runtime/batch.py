@@ -47,8 +47,7 @@ class BatchTranscriber:
         params: Optional[FullParams] = None,
     ) -> list[TranscribeResult]:
         params = params or full_default_params()
-        if params.flag(Flags.SINGLE_SEGMENT):
-            raise NotImplementedError("single-segment batching not supported")
+        single_segment = params.flag(Flags.SINGLE_SEGMENT)
         rt = self.model.runtime
         dims = rt.dims
         window = 2 * (params.audio_ctx or dims.n_audio_ctx)
@@ -108,7 +107,7 @@ class BatchTranscriber:
             _, cross = rt.encode_window(mel_batch)
             res = rt.run_window(
                 prompts, plens, cross, seeks, ends,
-                max_tokens=params.max_tokens, single_segment=False,
+                max_tokens=params.max_tokens, single_segment=single_segment,
             )
             res = {k: np.asarray(v) for k, v in res._asdict().items()}
 
