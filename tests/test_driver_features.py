@@ -138,3 +138,39 @@ def test_speedup_audio_flag_runs_and_scales_times(ml_model):
     for seg in res.segments:
         assert seg.t0 % 2 == 0 and seg.t1 % 2 == 0
         assert 0 <= seg.t0 <= seg.t1 <= 400 + 3000  # window slack
+
+
+def test_v3_family_end_to_end(tmp_path):
+    """128-mel / 51866-vocab (large-v3 layout) model runs the full pipeline
+    and accepts the v3-only language "yue"."""
+    import dataclasses
+
+    from tests.helpers import MULTILINGUAL_TEST_DIMS, make_random_checkpoint
+    from whisper_tpu.api.model import Model
+    from whisper_tpu.api.params import FullParams
+    from whisper_tpu.model.params import DtypePolicy
+
+    dims = dataclasses.replace(MULTILINGUAL_TEST_DIMS, n_vocab=51_866, n_mels=128)
+    path = str(tmp_path / "v3mini.bin")
+    make_random_checkpoint(path, dims, seed=60)
+    m = Model(path, policy=DtypePolicy.f32())
+    assert m.vocab.num_languages == 100
+
+    ctx = m.create_context()
+    v = m.vocab
+    p = ctx.build_prompt_init(FullParams(language="yue"))
+    assert p == [v.token_sot, v.token_sot + 1 + 99, v.token_transcribe]
+
+    rng = np.random.default_rng(1)
+    audio = (0.05 * rng.standard_normal(16_000 * 3)).astype(np.float32)
+    mel = np.asarray(m.mel(audio))
+    assert mel.shape[0] == 128
+    ctx.run_full(FullParams(language="en"), audio)  # full pipeline executes
+
+
+def test_v2_model_rejects_yue(ml_model):
+    from whisper_tpu.api.params import FullParams
+
+    ctx = ml_model.create_context()
+    with pytest.raises(ValueError, match="large-v3"):
+        ctx.build_prompt_init(FullParams(language="yue"))

@@ -72,7 +72,8 @@ def test_languages():
     assert find_language_id("de") == 2
     assert find_language_id("xx") == -1
     assert language_code(1) == "zh"
-    assert len(supported_languages()) == 99
+    assert len(supported_languages()) == 100  # 99 classic + yue (v3 family)
+    assert find_language_id("yue") == 99
 
 
 def test_f32_checkpoint_roundtrip(tmp_path):
@@ -140,3 +141,39 @@ def test_bad_magic_raises(tmp_path):
     open(path, "wb").write(b"\x00" * 64)
     with pytest.raises(ValueError, match="magic"):
         load_checkpoint(path)
+
+
+def test_v3_vocab_special_ids():
+    """large-v3 layout (n_vocab=51866, 100 languages): every post-language
+    special shifts +1 vs v2; eot/sot do not (openai v3 tokenizer layout)."""
+    from whisper_tpu.vocab import Vocabulary
+
+    v2 = Vocabulary([], 51_865)
+    assert (v2.token_eot, v2.token_sot) == (50_257, 50_258)
+    assert (v2.token_translate, v2.token_transcribe) == (50_358, 50_359)
+    assert (v2.token_prev, v2.token_solm, v2.token_not, v2.token_beg) == (
+        50_361, 50_362, 50_363, 50_364)  # reference Vocabulary.cpp:110-121
+    assert v2.num_languages == 99
+
+    v3 = Vocabulary([], 51_866)
+    assert (v3.token_eot, v3.token_sot) == (50_257, 50_258)
+    assert (v3.token_translate, v3.token_transcribe) == (50_359, 50_360)
+    assert (v3.token_prev, v3.token_solm, v3.token_not, v3.token_beg) == (
+        50_362, 50_363, 50_364, 50_365)
+    assert v3.num_languages == 100
+    # 1500 timestamp tokens still fit: beg + 1500 == 51865 == n_vocab - 1
+    assert v3.token_beg + 1500 == v3.n_vocab - 1
+
+    en = Vocabulary([], 51_864)
+    assert (en.token_eot, en.token_beg) == (50_256, 50_363)
+    assert en.num_languages == 99
+
+
+def test_v3_model_dims_catalog():
+    from whisper_tpu.hparams import KNOWN_MODELS
+
+    v3 = KNOWN_MODELS["large-v3"]
+    assert (v3.n_vocab, v3.n_mels, v3.n_text_layer) == (51_866, 128, 32)
+    turbo = KNOWN_MODELS["large-v3-turbo"]
+    assert (turbo.n_vocab, turbo.n_mels) == (51_866, 128)
+    assert (turbo.n_audio_layer, turbo.n_text_layer) == (32, 4)

@@ -105,4 +105,5 @@ LANGUAGE_TABLE: tuple[tuple[str, str], ...] = (
     ('ba', 'bashkir'),  # 96
     ('jw', 'javanese'),  # 97
     ('su', 'sundanese'),  # 98
+    ('yue', 'cantonese'),  # 99 — large-v3 family only (n_vocab 51866)
 )

@@ -296,6 +296,11 @@ class Context:
             lang_id = find_language_id(params.language)
             if lang_id < 0:
                 raise ValueError(f"unknown language {params.language!r}")
+            if lang_id >= vocab.num_languages:
+                raise ValueError(
+                    f"language {params.language!r} requires a model with "
+                    f">{vocab.num_languages} language tokens (large-v3 family)"
+                )
             prompt_init.append(vocab.token_sot + 1 + lang_id)
             prompt_init.append(
                 vocab.token_translate if params.flag(Flags.TRANSLATE) else vocab.token_transcribe

@@ -79,4 +79,7 @@ KNOWN_MODELS: dict[str, ModelDims] = {
     "medium": ModelDims(51865, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80, 1),
     "large-v1": ModelDims(51865, 1500, 1280, 20, 32, 448, 1280, 20, 32, 80, 1),
     "large-v2": ModelDims(51865, 1500, 1280, 20, 32, 448, 1280, 20, 32, 80, 1),
+    # beyond the reference: v3 family (128 mel bins, +1 language "yue")
+    "large-v3": ModelDims(51866, 1500, 1280, 20, 32, 448, 1280, 20, 32, 128, 1),
+    "large-v3-turbo": ModelDims(51866, 1500, 1280, 20, 32, 448, 1280, 20, 4, 128, 1),
 }

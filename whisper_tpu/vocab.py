@@ -4,7 +4,9 @@ Behavioral spec from the reference (Whisper/Whisper/Vocabulary.cpp):
   - base special ids are the English-model values; a multilingual vocab
     (n_vocab == 51865) shifts eot/sot/prev/solm/not/beg by +1
     (Vocabulary.cpp:110-121); task tokens translate=50358 / transcribe=50359
-    are fixed (Vocabulary.h:34-36)
+    are fixed (Vocabulary.h:34-36). Beyond the reference: n_vocab > 51865
+    (large-v3 family, 100 languages) derives every post-language special from
+    the language count, matching openai's v3 tokenizer layout.
   - ids beyond the stored word list are synthesized: "[_TT_%i]" past
     token_beg, named specials, "[_extra_token_%i]" otherwise
     (Vocabulary.cpp:123-141)
@@ -55,18 +57,34 @@ class Vocabulary:
         if n_vocab <= 0:
             raise ValueError("n_vocab must be positive")
         self.n_vocab = n_vocab
-        self.multilingual = n_vocab == 51_865
+        self.multilingual = n_vocab >= 51_865
 
-        # English-model base ids (Vocabulary.h:27-32), +1 when multilingual.
-        shift = 1 if self.multilingual else 0
-        self.token_eot = 50_256 + shift
-        self.token_sot = 50_257 + shift
-        self.token_prev = 50_360 + shift
-        self.token_solm = 50_361 + shift
-        self.token_not = 50_362 + shift
-        self.token_beg = 50_363 + shift
-        self.token_translate = 50_358
-        self.token_transcribe = 50_359
+        if self.multilingual:
+            # n_vocab == 51865: v1/v2 layout (reference Vocabulary.cpp:
+            # 110-121, +1 shift). Each extra token beyond that is an extra
+            # language slot (large-v3 adds "yue", n_vocab == 51866), pushing
+            # every post-language special up by the same amount.
+            self.num_languages = 99 + (n_vocab - 51_865)
+            self.token_eot = 50_257
+            self.token_sot = 50_258
+            # languages occupy sot+1 .. sot+num_languages
+            self.token_translate = self.token_sot + 1 + self.num_languages
+            self.token_transcribe = self.token_translate + 1
+            self.token_prev = self.token_transcribe + 2   # <|startofprev|>
+            self.token_solm = self.token_transcribe + 3   # <|nospeech|> slot
+            self.token_not = self.token_transcribe + 4    # <|notimestamps|>
+            self.token_beg = self.token_transcribe + 5    # first timestamp
+        else:
+            # English-model base ids (Vocabulary.h:27-36)
+            self.num_languages = 99
+            self.token_eot = 50_256
+            self.token_sot = 50_257
+            self.token_prev = 50_360
+            self.token_solm = 50_361
+            self.token_not = 50_362
+            self.token_beg = 50_363
+            self.token_translate = 50_358
+            self.token_transcribe = 50_359
 
         count = max(n_vocab, len(words))
         self.tokens: list[bytes] = list(words) + [b""] * (count - len(words))
