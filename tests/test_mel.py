@@ -64,3 +64,40 @@ def test_normalization_masking():
     out = np.asarray(normalize_log_mel(lm, valid_frames=5))
     assert (out[:, 5:] == 0).all()
     assert (out[:, :5] != 0).all()
+
+
+def test_streaming_openai_matches_batch(audio):
+    """Openai-framed streaming (reflect prefix/suffix around the causal
+    engine) must reproduce the batch front-end on irregular chunk sizes."""
+    from whisper_tpu.features.stream import MelStreamer
+
+    filters = mel_filter_bank(80)
+    batch = np.asarray(LogMelSpectrogram(filters, mode="openai")(audio))
+
+    clip = audio[: 16_000 * 7 + 123]
+    batch_clip = np.asarray(LogMelSpectrogram(filters, mode="openai")(clip))
+
+    for sig, expect in ((audio, batch), (clip, batch_clip)):
+        streamer = MelStreamer(LogMelSpectrogram(filters, mode="openai"))
+        rng = np.random.default_rng(7)
+        i = 0
+        while i < len(sig):
+            n = int(rng.integers(37, 5000))
+            streamer.append(sig[i : i + n])
+            i += n
+        got = streamer.finalize()
+        assert got.shape == expect.shape
+        np.testing.assert_allclose(got, expect, atol=2e-5, rtol=0)
+
+
+def test_streaming_openai_tiny_stream():
+    """Streams shorter than the reflect pad still produce framed output."""
+    from whisper_tpu.features.stream import MelStreamer
+
+    filters = mel_filter_bank(80)
+    streamer = MelStreamer(LogMelSpectrogram(filters, mode="openai"))
+    rng = np.random.default_rng(3)
+    streamer.append(rng.standard_normal(190).astype(np.float32) * 0.1)
+    mel = streamer.finalize()
+    assert mel.shape == (80, 190 // 160)
+    assert np.isfinite(mel).all()

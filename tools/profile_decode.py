@@ -1,0 +1,197 @@
+"""Decode-step performance breakdown on the real chip.
+
+The reference ships per-shader GPU timings (SampleClips/jfk-medium-1080ti.txt
+:19-40 — mulMatTiled 562 ms, mulMatByRowTiled 256 ms, ...). This is the
+analogue for the TPU decode loop: it times the full decode_step and then each
+component in isolation (dense matmuls, self/cross attention kernels, KV
+append, vocab logits), so the gap between measured ms/step and the
+HBM-traffic lower bound is attributable.
+
+Usage:  python tools/profile_decode.py  [MODEL=large-v2 B=8 STEPS=32 REPS=3]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import KernelConfig
+from whisper_tpu.hparams import KNOWN_MODELS
+from whisper_tpu.model.decoder import SelfKV, decode_step, init_self_kv, _cache_append
+from whisper_tpu.model.layers import dense, gelu, layer_norm, qkv_proj
+
+MODEL = os.environ.get("MODEL", "large-v2")
+B = int(os.environ.get("B", "8"))
+STEPS = int(os.environ.get("STEPS", "32"))
+REPS = int(os.environ.get("REPS", "3"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench(name, fn, *args, per_step_divisor=STEPS, traffic_gb=None):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / REPS / per_step_divisor * 1e3
+    extra = ""
+    if traffic_gb is not None:
+        extra = f"  ({traffic_gb:.2f} GB -> {traffic_gb / (ms / 1e3):.0f} GB/s)"
+    log(f"{name:<28} {ms:8.3f} ms/step{extra}")
+    return ms
+
+
+def main():
+    dims = KNOWN_MODELS[MODEL]
+    log(f"profile model={MODEL} B={B} steps={STEPS} devices={jax.devices()}")
+    d = dims.n_text_state
+    L = dims.n_text_layer
+    H = dims.n_text_head
+    C = dims.n_text_ctx
+    Sx = dims.n_audio_ctx
+    V = dims.n_vocab
+    bf = jnp.bfloat16
+
+    from whisper_tpu.tools.synthetic import make_synthetic_params
+
+    params = make_synthetic_params(dims, bf)
+    jax.block_until_ready(params)
+    key = jax.random.PRNGKey(1)
+    kv0 = init_self_kv(dims, B, bf)
+    xk = jax.random.normal(key, (L, B, d, Sx), bf) * 0.1
+    xv = jax.random.normal(jax.random.fold_in(key, 1), (L, B, d, Sx), bf) * 0.1
+    n_past0 = jnp.full((B,), 8, jnp.int32)
+    tok = jnp.full((B, 1), 100, jnp.int32)
+    blocks = params["dec"]["blocks"]
+
+    gb = lambda n_elem: n_elem * 2 / 1e9  # bf16 bytes -> GB
+
+    w_layer = 14 * d * d + (3 + 1 + 1 + 1 + 4 + 4) * d  # weights read per layer
+    traffic = {
+        "denses": gb(L * w_layer * 1.0),
+        "self_kv": gb(2 * L * B * d * C),
+        "cross_kv": gb(2 * L * B * d * Sx),
+        "logits": gb(V * d),
+    }
+    log(
+        f"HBM lower bound ~= {sum(traffic.values()):.2f} GB/step "
+        f"({', '.join(f'{k}={v:.2f}' for k, v in traffic.items())})"
+    )
+
+    # ---- full decode_step loop (kernel + einsum paths) ----
+    def full_loop(kernels):
+        @jax.jit
+        def run(params, kv, xk, xv):
+            def body(i, carry):
+                kv, n_past, acc = carry
+                logits, kv = decode_step(
+                    params, dims, tok, n_past, kv, (xk, xv),
+                    logits_row=jnp.zeros((B,), jnp.int32), kernels=kernels,
+                )
+                return kv, n_past + 1, acc + logits[0, 0]
+
+            kv, n_past, acc = jax.lax.fori_loop(0, STEPS, body, (kv, n_past0, 0.0))
+            return acc
+
+        return run
+
+    kc = KernelConfig.auto()
+    full_k = bench("decode_step (pallas)", full_loop(kc), params, kv0, xk, xv,
+                   traffic_gb=sum(traffic.values()))
+    full_e = bench("decode_step (einsum)", full_loop(None), params, kv0, xk, xv,
+                   traffic_gb=sum(traffic.values()))
+
+    # ---- components ----
+    x0 = jax.random.normal(key, (B, 1, d), bf) * 0.1
+
+    @jax.jit
+    def denses_only(blocks, x0):
+        def step(i, x):
+            def layer(x, blk):
+                h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(bf)
+                q, k_new, v_new = qkv_proj(h, blk["qkv_w"], blk["qkv_b"], H)
+                att = (q.reshape(B, 1, d) + k_new.reshape(B, 1, d) + v_new.reshape(B, 1, d))
+                x = x + dense(att.astype(bf), blk["o_w"], blk["o_b"]).astype(bf)
+                h = layer_norm(x, blk["x_ln_w"], blk["x_ln_b"]).astype(bf)
+                xq = dense(h, blk["xq_w"], blk["xq_b"]).astype(bf)
+                x = x + dense(xq, blk["xo_w"], blk["xo_b"]).astype(bf)
+                h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]).astype(bf)
+                h = gelu(dense(h, blk["fc1_w"], blk["fc1_b"])).astype(bf)
+                x = x + dense(h, blk["fc2_w"], blk["fc2_b"]).astype(bf)
+                return x, 0.0
+
+            x, _ = jax.lax.scan(layer, x, blocks)
+            return x
+
+        return jax.lax.fori_loop(0, STEPS, step, x0)
+
+    bench("dense matmuls only", denses_only, blocks, x0, traffic_gb=traffic["denses"])
+
+    from whisper_tpu.kernels.decode_attention import decode_attention_hd
+
+    q1 = jax.random.normal(key, (B, d, 1), bf) * 0.1
+
+    def attn_loop(k_all, v_all, valid, label, tgb):
+        @jax.jit
+        def run(q1, k_all, v_all):
+            def step(i, acc):
+                def layer(acc, kv):
+                    k, v = kv
+                    o = decode_attention_hd(q1, k, v, H, valid_len=valid)
+                    return acc + o[0, 0, 0], 0.0
+
+                acc, _ = jax.lax.scan(layer, acc, (k_all, v_all))
+                return acc
+
+            return jax.lax.fori_loop(0, STEPS, step, 0.0)
+
+        bench(label, run, q1, k_all, v_all, traffic_gb=tgb)
+
+    attn_loop(kv0.k, kv0.v, n_past0 + 1, "self-attn kernel x L", traffic["self_kv"])
+    attn_loop(xk, xv, None, "cross-attn kernel x L", traffic["cross_kv"])
+
+    k_new = jax.random.normal(key, (B, 1, d), bf)
+
+    @jax.jit
+    def append_loop(kv, k_new):
+        def step(i, kv):
+            def layer(carry, ckv):
+                ck, cv = ckv
+                return carry, (_cache_append(ck, k_new, n_past0),
+                               _cache_append(cv, k_new, n_past0))
+
+            _, (nk, nv) = jax.lax.scan(layer, 0.0, (kv.k, kv.v))
+            return SelfKV(nk, nv)
+
+        return jax.lax.fori_loop(0, STEPS, step, kv)
+
+    bench("kv append (scan copy)", append_loop, kv0, k_new,
+          traffic_gb=2 * gb(2 * L * B * d * C))
+
+    xrow = jax.random.normal(key, (B, d), bf)
+
+    @jax.jit
+    def logits_loop(tokw, xrow):
+        def step(i, acc):
+            lg = jnp.dot(xrow, tokw.T, preferred_element_type=jnp.float32)
+            return acc + lg[0, 0]
+
+        return jax.lax.fori_loop(0, STEPS, step, 0.0)
+
+    bench("vocab logits matmul", logits_loop, params["dec"]["tok"], xrow,
+          traffic_gb=traffic["logits"])
+
+    log(f"\nfull(pallas)={full_k:.2f} ms vs full(einsum)={full_e:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,10 @@ Two framing modes:
                   covers [i*hop, i*hop + n_fft) zero-padded at the clip end,
                   and the power spectrum "fold" doubles bins 1..n_fft/2-1
                   (melSpectrogram.cpp:355-366).
+  - "causal"    — reference framing WITHOUT the power fold: the building
+                  block the streaming front-end uses to reproduce "openai"
+                  framing incrementally (the caller supplies the reflect
+                  padding, see features/stream.py).
 
 Both end with: mel = filters @ power, log10(max(mel, 1e-10)),
 clamp to global_max - 8, then (x + 4) / 4 (Spectrogram.cpp:90-103).
@@ -61,7 +65,7 @@ def _mel_power(
     if mode == "openai":
         audio = jnp.pad(audio, (n_fft // 2, n_fft // 2), mode="reflect")
         n_frames = n_samples // hop  # matches torch.stft center=True, last frame dropped
-    elif mode == "reference":
+    elif mode in ("reference", "causal"):
         # zero-pad the tail so every frame has n_fft samples
         audio = jnp.pad(audio, (0, n_fft))
         n_frames = n_samples // hop

@@ -17,19 +17,29 @@ from whisper_tpu.hparams import HOP_LENGTH, N_FFT
 
 
 class MelStreamer:
-    """Append PCM chunks; read normalized mel windows as they become ready."""
+    """Append PCM chunks; read normalized mel windows as they become ready.
+
+    Honors the engine's framing mode: "reference" streams causally like the
+    reference MelStreamer; "openai" reproduces centered reflect-padded
+    framing incrementally (a 200-sample reflected prefix is injected once
+    enough PCM arrives, tail reflection at flush) so streamed mel matches
+    the batch front-end bit-for-bit."""
 
     def __init__(self, mel: LogMelSpectrogram, batch_hops: int = 100):
-        if mel.mode != "reference":
-            # centered (openai) framing needs lookahead of n_fft/2; the
-            # streaming path uses causal reference framing like MelStreamer.
+        self.out_mode = mel.mode
+        if mel.mode == "openai":
+            # centered framing == causal framing over a reflect-padded
+            # stream; the streamer supplies the padding itself.
             mel = LogMelSpectrogram(
-                np.asarray(mel.filters), n_fft=mel.n_fft, hop=mel.hop, mode="reference"
+                np.asarray(mel.filters), n_fft=mel.n_fft, hop=mel.hop, mode="causal"
             )
         self.mel = mel
         self.batch_hops = batch_hops
         self._pcm = np.zeros(0, np.float32)
-        self._chunks: list[np.ndarray] = []   # raw log-mel [n_mels, k]
+        self._pending = np.zeros(0, np.float32)  # openai: pre-prefix buffer
+        self._started = self.out_mode != "openai"
+        self._total = 0                          # original samples appended
+        self._chunks: list[np.ndarray] = []      # raw log-mel [n_mels, k]
         self._running_max = -1e20
         self._frames = 0
 
@@ -38,7 +48,20 @@ class MelStreamer:
         return self._frames
 
     def append(self, pcm: np.ndarray) -> None:
-        self._pcm = np.concatenate([self._pcm, np.asarray(pcm, np.float32)])
+        pcm = np.asarray(pcm, np.float32)
+        self._total += len(pcm)
+        if not self._started:
+            pad = self.mel.n_fft // 2
+            self._pending = np.concatenate([self._pending, pcm])
+            if len(self._pending) <= pad:
+                return  # reflection needs pad+1 samples
+            # reflect-pad the stream head: frame i of the padded stream is
+            # centered at sample i*hop of the original, i.e. openai framing
+            self._pcm = np.concatenate([self._pending[pad:0:-1], self._pending])
+            self._pending = np.zeros(0, np.float32)
+            self._started = True
+        else:
+            self._pcm = np.concatenate([self._pcm, pcm])
         # process all complete hops, keeping n_fft-hop lookahead so frames
         # never see implicit zero padding mid-stream
         usable = (len(self._pcm) - (N_FFT - HOP_LENGTH)) // HOP_LENGTH
@@ -57,8 +80,26 @@ class MelStreamer:
         self._frames += n_frames
 
     def flush(self) -> None:
-        """Process the remaining tail with zero padding (end of stream)."""
-        if len(self._pcm) >= HOP_LENGTH:
+        """Process the remaining tail (end of stream): zero padding in
+        reference mode, tail reflection in openai mode."""
+        if self.out_mode == "openai":
+            pad = self.mel.n_fft // 2
+            if not self._started:
+                # tiny stream — pad what we can (reflect needs len-1 >= pad)
+                p = self._pending
+                n = self._total // HOP_LENGTH
+                if n > 0:
+                    k = min(pad, len(p) - 1)
+                    seg = np.concatenate([p[k:0:-1], p, p[-2 : -2 - k : -1]])
+                    self._emit(seg, n)
+            else:
+                n = self._total // HOP_LENGTH - self._frames
+                if n > 0:
+                    # last 201 samples of _pcm are original stream samples
+                    tail = self._pcm[-2 : -2 - pad : -1]
+                    self._emit(np.concatenate([self._pcm, tail]), n)
+            self._pending = np.zeros(0, np.float32)
+        elif len(self._pcm) >= HOP_LENGTH:
             n = len(self._pcm) // HOP_LENGTH
             self._emit(self._pcm, n)
         self._pcm = np.zeros(0, np.float32)
