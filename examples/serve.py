@@ -71,7 +71,40 @@ def main() -> int:
 
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    # Minimal browser front-end — the WhisperDesktop transcribe-dialog role
+    # (Examples/WhisperDesktop/TranscribeDlg.h) as a single stdlib-served page.
+    INDEX = b"""<!doctype html><meta charset=utf-8><title>whisper_tpu</title>
+<body style="font-family:sans-serif;max-width:48rem;margin:2rem auto">
+<h2>whisper_tpu transcription</h2>
+<p>Pick a 16-bit PCM .wav file; it is POSTed to <code>/transcribe</code>.</p>
+<input type=file id=f accept=.wav>
+<button onclick=go()>Transcribe</button>
+<pre id=out style="white-space:pre-wrap;background:#f4f4f4;padding:1rem"></pre>
+<script>
+async function go(){
+  const f=document.getElementById('f').files[0];
+  const out=document.getElementById('out');
+  if(!f){out.textContent='choose a .wav file first';return}
+  out.textContent='transcribing...';
+  const r=await fetch('/transcribe',{method:'POST',body:await f.arrayBuffer()});
+  if(!r.ok){out.textContent='error: '+await r.text();return}
+  const j=await r.json();
+  out.textContent=j.segments.map(s=>
+    '['+s.t0.toFixed(2)+' - '+s.t1.toFixed(2)+']'+s.text).join('\\n');
+}
+</script>"""
+
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path not in ("/", "/index.html"):
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(INDEX)))
+            self.end_headers()
+            self.wfile.write(INDEX)
+
         def do_POST(self):
             if self.path != "/transcribe":
                 self.send_error(404)

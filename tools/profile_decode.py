@@ -67,8 +67,16 @@ def main():
     jax.block_until_ready(params)
     key = jax.random.PRNGKey(1)
     kv0 = init_self_kv(dims, B, bf)
-    xk = jax.random.normal(key, (L, B, d, Sx), bf) * 0.1
-    xv = jax.random.normal(jax.random.fold_in(key, 1), (L, B, d, Sx), bf) * 0.1
+
+    # cheap deterministic fill — jax.random at these shapes costs a remote
+    # compile per shape, minutes of setup on axon
+    def _fill(shape):
+        i = jax.lax.broadcasted_iota(jnp.float32, shape, len(shape) - 1)
+        j = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        return (jnp.sin(i * 0.37 + j) * 0.1).astype(bf)
+
+    xk = _fill((L, B, d, Sx))
+    xv = _fill((L, B, d, Sx))
     n_past0 = jnp.full((B,), 8, jnp.int32)
     tok = jnp.full((B, 1), 100, jnp.int32)
     blocks = params["dec"]["blocks"]
@@ -104,14 +112,18 @@ def main():
 
         return run
 
+    parts = set(os.environ.get("PARTS", "full,denses,self,cross,append,logits").split(","))
     kc = KernelConfig.auto()
-    full_k = bench("decode_step (pallas)", full_loop(kc), params, kv0, xk, xv,
-                   traffic_gb=sum(traffic.values()))
-    full_e = bench("decode_step (einsum)", full_loop(None), params, kv0, xk, xv,
-                   traffic_gb=sum(traffic.values()))
+    full_k = full_e = float("nan")
+    if "full" in parts:
+        full_k = bench("decode_step (pallas)", full_loop(kc), params, kv0, xk, xv,
+                       traffic_gb=sum(traffic.values()))
+    if "einsum" in parts:
+        full_e = bench("decode_step (einsum)", full_loop(None), params, kv0, xk, xv,
+                       traffic_gb=sum(traffic.values()))
 
     # ---- components ----
-    x0 = jax.random.normal(key, (B, 1, d), bf) * 0.1
+    x0 = _fill((B, 1, d))
 
     @jax.jit
     def denses_only(blocks, x0):
@@ -134,11 +146,12 @@ def main():
 
         return jax.lax.fori_loop(0, STEPS, step, x0)
 
-    bench("dense matmuls only", denses_only, blocks, x0, traffic_gb=traffic["denses"])
+    if "denses" in parts:
+        bench("dense matmuls only", denses_only, blocks, x0, traffic_gb=traffic["denses"])
 
     from whisper_tpu.kernels.decode_attention import decode_attention_hd
 
-    q1 = jax.random.normal(key, (B, d, 1), bf) * 0.1
+    q1 = _fill((B, d, 1))
 
     def attn_loop(k_all, v_all, valid, label, tgb):
         @jax.jit
@@ -156,10 +169,12 @@ def main():
 
         bench(label, run, q1, k_all, v_all, traffic_gb=tgb)
 
-    attn_loop(kv0.k, kv0.v, n_past0 + 1, "self-attn kernel x L", traffic["self_kv"])
-    attn_loop(xk, xv, None, "cross-attn kernel x L", traffic["cross_kv"])
+    if "self" in parts:
+        attn_loop(kv0.k, kv0.v, n_past0 + 1, "self-attn kernel x L", traffic["self_kv"])
+    if "cross" in parts:
+        attn_loop(xk, xv, None, "cross-attn kernel x L", traffic["cross_kv"])
 
-    k_new = jax.random.normal(key, (B, 1, d), bf)
+    k_new = _fill((B, 1, d))
 
     @jax.jit
     def append_loop(kv, k_new):
@@ -174,10 +189,11 @@ def main():
 
         return jax.lax.fori_loop(0, STEPS, step, kv)
 
-    bench("kv append (scan copy)", append_loop, kv0, k_new,
-          traffic_gb=2 * gb(2 * L * B * d * C))
+    if "append" in parts:
+        bench("kv append (scan copy)", append_loop, kv0, k_new,
+              traffic_gb=2 * gb(2 * L * B * d * C))
 
-    xrow = jax.random.normal(key, (B, d), bf)
+    xrow = _fill((B, d))
 
     @jax.jit
     def logits_loop(tokw, xrow):
@@ -187,8 +203,9 @@ def main():
 
         return jax.lax.fori_loop(0, STEPS, step, 0.0)
 
-    bench("vocab logits matmul", logits_loop, params["dec"]["tok"], xrow,
-          traffic_gb=traffic["logits"])
+    if "logits" in parts:
+        bench("vocab logits matmul", logits_loop, params["dec"]["tok"], xrow,
+              traffic_gb=traffic["logits"])
 
     log(f"\nfull(pallas)={full_k:.2f} ms vs full(einsum)={full_e:.2f} ms")
 
