@@ -87,7 +87,8 @@ def test_streaming_openai_matches_batch(audio):
             i += n
         got = streamer.finalize()
         assert got.shape == expect.shape
-        np.testing.assert_allclose(got, expect, atol=2e-5, rtol=0)
+        # bit-exact: the streamer normalizes in f32 like the batch path
+        np.testing.assert_array_equal(got, expect)
 
 
 def test_streaming_openai_tiny_stream():

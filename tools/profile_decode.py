@@ -154,18 +154,25 @@ def main():
     q1 = _fill((B, d, 1))
 
     def attn_loop(k_all, v_all, valid, label, tgb):
+        # NB: the query must depend on the loop carry or XLA's while-loop
+        # invariant code motion hoists the whole attention out of the fori
+        # loop and the measurement is STEPS x too fast.
         @jax.jit
         def run(q1, k_all, v_all):
-            def step(i, acc):
+            def step(i, carry):
+                q, acc = carry
+
                 def layer(acc, kv):
                     k, v = kv
-                    o = decode_attention_hd(q1, k, v, H, valid_len=valid)
+                    o = decode_attention_hd(q, k, v, H, valid_len=valid)
                     return acc + o[0, 0, 0], 0.0
 
                 acc, _ = jax.lax.scan(layer, acc, (k_all, v_all))
-                return acc
+                q = q + (acc * 1e-30).astype(q.dtype)
+                return q, acc
 
-            return jax.lax.fori_loop(0, STEPS, step, 0.0)
+            _, acc = jax.lax.fori_loop(0, STEPS, step, (q1, 0.0))
+            return acc
 
         bench(label, run, q1, k_all, v_all, traffic_gb=tgb)
 
@@ -197,11 +204,16 @@ def main():
 
     @jax.jit
     def logits_loop(tokw, xrow):
-        def step(i, acc):
-            lg = jnp.dot(xrow, tokw.T, preferred_element_type=jnp.float32)
-            return acc + lg[0, 0]
+        # Carry xrow with a tiny dependency on each step's logits so XLA
+        # cannot hoist the (otherwise loop-invariant) matmul out of the loop.
+        def step(i, carry):
+            x, acc = carry
+            lg = jnp.dot(x, tokw.T, preferred_element_type=jnp.float32)
+            x = x + (lg[:, :1] * 1e-30).astype(x.dtype)
+            return x, acc + lg[0, 0]
 
-        return jax.lax.fori_loop(0, STEPS, step, 0.0)
+        _, acc = jax.lax.fori_loop(0, STEPS, step, (xrow, 0.0))
+        return acc
 
     if "logits" in parts:
         bench("vocab logits matmul", logits_loop, params["dec"]["tok"], xrow,

@@ -23,7 +23,12 @@ class MelStreamer:
     reference MelStreamer; "openai" reproduces centered reflect-padded
     framing incrementally (a 200-sample reflected prefix is injected once
     enough PCM arrives, tail reflection at flush) so streamed mel matches
-    the batch front-end bit-for-bit."""
+    the batch front-end bit-for-bit.
+
+    Exception: streams shorter than n_fft//2 + 1 samples (~12.5 ms) can't
+    supply a full reflection, so flush() uses a truncated reflection
+    (k = min(pad, len-1)) — graceful degradation, not a parity target: the
+    batch openai path would raise on such inputs (reflect pad > len-1)."""
 
     def __init__(self, mel: LogMelSpectrogram, batch_hops: int = 100):
         self.out_mode = mel.mode
@@ -113,8 +118,12 @@ class MelStreamer:
         return self._normalize(raw)
 
     def _normalize(self, raw: np.ndarray) -> np.ndarray:
-        mmax = self._running_max - 8.0
-        return ((np.maximum(raw, mmax) + 4.0) / 4.0).astype(np.float32)
+        # f32 arithmetic throughout so the result is bit-identical to the
+        # batch path (normalize_log_mel), which stays in f32 jnp — a Python
+        # float here would promote the whole computation to f64.
+        mmax = np.float32(self._running_max) - np.float32(8.0)
+        out = (np.maximum(raw, mmax) + np.float32(4.0)) / np.float32(4.0)
+        return out.astype(np.float32)
 
     def window(self, offset: int, length: int) -> np.ndarray:
         """Normalized mel slice [n_mels, length], zero-padded past the end —
