@@ -75,7 +75,6 @@ def _reference_loop(rt, cross, prompt, seek, seek_end, max_tokens=0, single_segm
     logits, kv = decode_step(
         rt.params, dims, jnp.asarray(cur), jnp.zeros((1,), jnp.int32), kv, cross,
         compute_dtype=jnp.float32,
-        logits_row=jnp.asarray([len(prompt) - 1], jnp.int32),
     )
     n_past = len(prompt)
 
@@ -117,8 +116,7 @@ def _reference_loop(rt, cross, prompt, seek, seek_end, max_tokens=0, single_segm
 
         logits, kv = decode_step(
             rt.params, dims, jnp.asarray([[tok]]), jnp.asarray([n_past], jnp.int32),
-            kv, cross, compute_dtype=jnp.float32,
-            logits_row=jnp.zeros((1,), jnp.int32),
+            kv, cross, write_pos=n_past, compute_dtype=jnp.float32,
         )
         n_past += 1
 

@@ -114,6 +114,39 @@ def test_decode_attention_matches_einsum(jnp):
     assert np.max(np.abs(got - ref(q, k, v, valid))) < 1e-5
 
 
+def test_decode_attention_start_mask(jnp):
+    """Per-lane [start, valid) key intervals (left-padded prompt cache)."""
+    from whisper_tpu.kernels.decode_attention import decode_attention_hd
+
+    rng = np.random.default_rng(6)
+    B, H, Dh, S = 3, 4, 64, 150
+    HD = H * Dh
+    q = rng.standard_normal((B, HD, 1)).astype(np.float32) * 0.3
+    kt = rng.standard_normal((B, HD, S)).astype(np.float32) * 0.3
+    vt = rng.standard_normal((B, HD, S)).astype(np.float32)
+    start = np.array([0, 12, 149], np.int32)
+    valid = np.array([37, 150, 150], np.int32)
+
+    def ref():
+        out = np.zeros((B, HD, 1), np.float32)
+        for b in range(B):
+            k4 = kt[b].reshape(H, Dh, S)
+            v4 = vt[b].reshape(H, Dh, S)
+            q4 = q[b].reshape(H, Dh, 1)
+            s = np.einsum("hds,hdo->hs", k4, q4)
+            s[:, : start[b]] = -np.inf
+            s[:, valid[b]:] = -np.inf
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            out[b] = np.einsum("hs,hds->hd", p, v4).reshape(HD, 1)
+        return out
+
+    got = np.asarray(decode_attention_hd(
+        jnp.asarray(q), jnp.asarray(kt), jnp.asarray(vt), H,
+        valid_len=jnp.asarray(valid), start=jnp.asarray(start), interpret=True))
+    assert np.max(np.abs(got - ref())) < 1e-5
+
+
 def test_decode_window_with_pallas_cross_matches_einsum_path(jnp):
     """Full on-device window loop: pallas cross-attention (interpret) must
     produce identical tokens to the einsum path."""

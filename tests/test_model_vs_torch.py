@@ -127,7 +127,7 @@ def test_decoder_matches_torch(setup):
     kv = init_self_kv(cp.dims, 1, dtype=jnp.float32)
     logits, kv = decode_step(
         params, cp.dims, jnp.asarray(tokens), jnp.zeros((1,), jnp.int32), kv, cross,
-        compute_dtype=jnp.float32,
+        compute_dtype=jnp.float32, last_only=False,
     )
     ours = np.asarray(logits)  # [1, S, V]
 
@@ -154,7 +154,7 @@ def test_incremental_equals_batch(setup):
     kv = init_self_kv(cp.dims, 1, dtype=jnp.float32)
     full, _ = decode_step(
         params, cp.dims, jnp.asarray(tokens), jnp.zeros((1,), jnp.int32), kv, cross,
-        compute_dtype=jnp.float32,
+        compute_dtype=jnp.float32, last_only=False,
     )
 
     kv = init_self_kv(cp.dims, 1, dtype=jnp.float32)
@@ -163,7 +163,7 @@ def test_incremental_equals_batch(setup):
         lg, kv = decode_step(
             params, cp.dims, jnp.asarray(tokens[:, i : i + 1]),
             jnp.full((1,), i, jnp.int32), kv, cross,
-            compute_dtype=jnp.float32, logits_row=jnp.zeros((1,), jnp.int32),
+            write_pos=i, compute_dtype=jnp.float32,
         )
         step_logits.append(np.asarray(lg))
     inc = np.stack(step_logits, axis=1)  # [1, S, V]

@@ -76,8 +76,8 @@ def test_run_full_stereo_diarization(model):
 
 
 def test_padded_prompt_matches_exact(model):
-    """Right-padded prompt ingest must give the same first-token logits as an
-    exact-length prompt (validates the logits_row gather + cache masking)."""
+    """Left-padded prompt ingest must give the same last-token logits as an
+    exact-length prompt (validates the attn_start masking + pos offsets)."""
     import jax.numpy as jnp
 
     from whisper_tpu.model.decoder import decode_step, init_self_kv
@@ -92,16 +92,17 @@ def test_padded_prompt_matches_exact(model):
     exact, _ = decode_step(
         rt.params, model.dims, jnp.asarray([prompt], jnp.int32),
         jnp.zeros((1,), jnp.int32), kv, cross, compute_dtype=jnp.float32,
-        logits_row=jnp.asarray([len(prompt) - 1], jnp.int32),
     )
 
     cap = rt.prompt_capacity
     padded = np.zeros((1, cap), np.int32)
-    padded[0, : len(prompt)] = prompt
+    padded[0, cap - len(prompt):] = prompt
+    lead = cap - len(prompt)
     kv = init_self_kv(model.dims, 1, dtype=jnp.float32)
     pad_logits, _ = decode_step(
         rt.params, model.dims, jnp.asarray(padded),
-        jnp.zeros((1,), jnp.int32), kv, cross, compute_dtype=jnp.float32,
-        logits_row=jnp.asarray([len(prompt) - 1], jnp.int32),
+        jnp.asarray([-lead], jnp.int32), kv, cross,
+        write_pos=0, attn_start=jnp.asarray([lead], jnp.int32),
+        compute_dtype=jnp.float32,
     )
     assert np.max(np.abs(np.asarray(exact) - np.asarray(pad_logits))) < 1e-4

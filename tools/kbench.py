@@ -1,0 +1,315 @@
+"""Microbench for the decode-attention kernel: isolate DMA vs compute.
+
+Variants over the same [B, HD, S] bf16 K/V streams as large-v2 cross-attn:
+  read      — pure streaming reduction (the DMA speed-of-light for this grid)
+  vpu       — k*q segment-sum scores + v*p lane-sum (original formulation)
+  mxu       — head-masked dot_general formulation
+Usage: PYTHONPATH=. python tools/kbench.py [CS=512 B=8 S=1500 HD=1280 H=20 L=32]
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B = int(os.environ.get("B", "8"))
+S = int(os.environ.get("S", "1500"))
+HD = int(os.environ.get("HD", "1280"))
+H = int(os.environ.get("H", "20"))
+L = int(os.environ.get("L", "32"))
+CS = int(os.environ.get("CS", "512"))
+DH = HD // H
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def ceil_to(x, m):
+    return (x + m - 1) // m * m
+
+
+S_PAD = ceil_to(S, CS)
+N_CHUNKS = S_PAD // CS
+
+
+def make_pallas(body, scratch):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N_CHUNKS),
+        in_specs=[
+            pl.BlockSpec((1, HD, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HD, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        body, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, HD, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * HD * S_PAD,
+            bytes_accessed=2 * B * HD * S_PAD * 2,
+            transcendentals=B * H * S_PAD,
+        ),
+    )
+
+
+def kernel_read(lim, q_ref, k_ref, v_ref, o_ref, acc):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        acc[...] = jnp.zeros((HD, 1), jnp.float32)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    acc[...] += jnp.sum(k.astype(jnp.float32) + v.astype(jnp.float32), axis=1,
+                        keepdims=True)
+
+    @pl.when(ci == N_CHUNKS - 1)
+    def _():
+        o_ref[0] = acc[...]
+
+
+def kernel_vpu(lim, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        m_sc[...] = jnp.full((H, 1), -jnp.inf, jnp.float32)
+        l_sc[...] = jnp.zeros((H, 1), jnp.float32)
+        acc[...] = jnp.zeros((HD, 1), jnp.float32)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scores = jnp.sum((k * q).reshape(H, DH, CS), axis=1)
+    col = ci * CS + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < S, scores, -jnp.inf)
+    m_run = m_sc[...]
+    m_new = jnp.maximum(m_run, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_run - m_new)
+    p = jnp.exp(scores - m_new)
+    l_sc[...] = l_sc[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_sc[...] = m_new
+    pb = jnp.broadcast_to(p[:, None, :], (H, DH, CS)).reshape(HD, CS)
+    ab = jnp.broadcast_to(alpha[:, None, :], (H, DH, 1)).reshape(HD, 1)
+    acc[...] = acc[...] * ab + jnp.sum(v * pb, axis=-1, keepdims=True)
+
+    @pl.when(ci == N_CHUNKS - 1)
+    def _():
+        l = l_sc[...]
+        lb = jnp.broadcast_to(l[:, None, :], (H, DH, 1)).reshape(HD, 1)
+        o_ref[0] = acc[...] / lb
+
+
+def kernel_mxu(lim, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        m_sc[...] = jnp.full((H, 1), -jnp.inf, jnp.float32)
+        l_sc[...] = jnp.zeros((H, 1), jnp.float32)
+        acc[...] = jnp.zeros((HD, 1), jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0) // DH
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+    head_mask = (row_head == col_head).astype(q.dtype)
+    qm = jnp.broadcast_to(q, (HD, H)) * head_mask
+    scores = jax.lax.dot_general(qm, k, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    col = ci * CS + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < S, scores, -jnp.inf)
+    m_run = m_sc[...]
+    m_new = jnp.maximum(m_run, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_run - m_new)
+    p = jnp.exp(scores - m_new)
+    l_sc[...] = l_sc[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_sc[...] = m_new
+    vp = jax.lax.dot_general(v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    upd = jnp.sum(vp * head_mask.astype(jnp.float32), axis=1, keepdims=True)
+    ab = jnp.broadcast_to(alpha[:, None, :], (H, DH, 1)).reshape(HD, 1)
+    acc[...] = acc[...] * ab + upd
+
+    @pl.when(ci == N_CHUNKS - 1)
+    def _():
+        l = l_sc[...]
+        lb = jnp.broadcast_to(l[:, None, :], (H, DH, 1)).reshape(HD, 1)
+        o_ref[0] = acc[...] / lb
+
+
+def main():
+    log(f"kbench B={B} S={S}(pad {S_PAD}) HD={HD} H={H} CS={CS} chunks={N_CHUNKS} L={L}")
+
+    def fill(shape):
+        i = jax.lax.broadcasted_iota(jnp.float32, shape, len(shape) - 1)
+        j = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        return (jnp.sin(i * 0.37 + j) * 0.1).astype(jnp.bfloat16)
+
+    k = fill((L, B, HD, S_PAD))
+    v = fill((L, B, HD, S_PAD))
+    q = fill((B, HD, 1))
+    lim = jnp.zeros((B, 2), jnp.int32)
+    gb = L * (k.size + v.size) / L * 2 / 1e9  # per full pass over L layers
+
+    # fully-contiguous-row variant: blocks span all S (whole 3 KB rows)
+    RB = int(os.environ.get("RB", "256"))
+
+    def kernel_rows(lim, k_ref, v_ref, o_ref):
+        o_ref[0] = jnp.sum(k_ref[0].astype(jnp.float32) + v_ref[0].astype(jnp.float32),
+                           axis=1, keepdims=True)
+
+    rows_call = pl.pallas_call(
+        kernel_rows,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, HD // RB),
+            in_specs=[
+                pl.BlockSpec((1, RB, S_PAD), lambda i, r, *_: (i, r, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RB, S_PAD), lambda i, r, *_: (i, r, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, RB, 1), lambda i, r, *_: (i, r, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, HD, 1), jnp.float32),
+    )
+
+    def make_rows():
+        def fn(lim, q, kk, vv):
+            return rows_call(lim, kk, vv)
+        return fn
+
+    def xla_reduce(lim, q, kk, vv):
+        return (jnp.sum(kk, axis=-1, keepdims=True, dtype=jnp.float32)
+                + jnp.sum(vv, axis=-1, keepdims=True, dtype=jnp.float32))
+
+    variants = {
+        "read": make_pallas(kernel_read, [pltpu.VMEM((HD, 1), jnp.float32)]),
+        "rows": make_rows(),
+        "xla": xla_reduce,
+        "vpu": make_pallas(kernel_vpu, [
+            pltpu.VMEM((H, 1), jnp.float32), pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((HD, 1), jnp.float32)]),
+        "mxu": make_pallas(kernel_mxu, [
+            pltpu.VMEM((H, 1), jnp.float32), pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((HD, 1), jnp.float32)]),
+    }
+    ones = jnp.ones((S_PAD, int(os.environ.get("N", "128"))), jnp.bfloat16)
+
+    @jax.jit
+    def flat_reduce(q, k, v):
+        return jnp.sum(k, dtype=jnp.float32) + jnp.sum(v, dtype=jnp.float32)
+
+    @jax.jit
+    def gemv_read(q, k, v):
+        def layer(acc, kv):
+            kk, vv = kv
+            a = jax.lax.dot_general(kk, ones, (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            b2 = jax.lax.dot_general(vv, ones, (((2,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            return acc + a[0, 0, 0] + b2[0, 0, 0], None
+
+        acc, _ = jax.lax.scan(layer, 0.0, (k, v))
+        return acc
+
+    @jax.jit
+    def copy_scale(q, k, v):
+        return k * jnp.bfloat16(2.0)  # 1.26 GB read + 1.26 GB write
+
+    def flatread(q, k, v):
+        # one pallas call over all layers: grid (L*B, chunks)
+        k2 = k.reshape(L * B, HD, S_PAD)
+        v2 = v.reshape(L * B, HD, S_PAD)
+        sem = {"p": pltpu.PARALLEL, "a": pltpu.ARBITRARY}
+        dims = [sem[c] for c in os.environ.get("SEMS", "aa")]
+        call = pl.pallas_call(
+            kernel_read,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(L * B, N_CHUNKS),
+                in_specs=[
+                    pl.BlockSpec((1, HD, 1), lambda i, c, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, HD, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, HD, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, HD, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((HD, 1), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((L * B, HD, 1), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=tuple(dims),
+                vmem_limit_bytes=int(os.environ.get("VMEM", str(64 * 2**20))),
+            ),
+        )
+        return call(lim, q, k2, v2)
+
+    flatread = jax.jit(flatread)
+
+    @jax.jit
+    def gemv2d(q, k, v):
+        # one LARGE 2-D matmul per layer (no batch dim): [B*HD, S] @ [S, N]
+        def layer(acc, kv):
+            kk, vv = kv
+            a = jnp.dot(kk.reshape(B * HD, S_PAD), ones,
+                        preferred_element_type=jnp.float32)
+            b2 = jnp.dot(vv.reshape(B * HD, S_PAD), ones,
+                         preferred_element_type=jnp.float32)
+            return acc + a[0, 0] + b2[0, 0], None
+
+        acc, _ = jax.lax.scan(layer, 0.0, (k, v))
+        return acc
+
+    whole = {"flat": flat_reduce, "gemv": gemv_read, "copy": copy_scale,
+             "flatread": flatread, "gemv2d": gemv2d}
+
+    sel = os.environ.get("VARIANTS", "read,vpu,mxu").split(",")
+    for name in sel:
+        if name in whole:
+            loop = whole[name]
+            out = loop(q, k, v)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            reps = 10
+            for _ in range(reps):
+                out = loop(q, k, v)
+            jax.block_until_ready(out)
+            ms = (time.perf_counter() - t0) / reps * 1e3
+            log(f"{name:<6} {ms:8.3f} ms/pass  ({gb:.2f} GB -> {gb / (ms / 1e3):.0f} GB/s)")
+            continue
+        fn = variants[name]
+
+        @jax.jit
+        def loop(q, k, v):
+            def layer(acc, kv):
+                kk, vv = kv
+                o = fn(lim, q, kk, vv)
+                return acc + o[0, 0, 0], None
+
+            acc, _ = jax.lax.scan(layer, 0.0, (k, v))
+            return acc
+
+        out = loop(q, k, v)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            out = loop(q, k, v)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        log(f"{name:<6} {ms:8.3f} ms/pass  ({gb:.2f} GB -> {gb / (ms / 1e3):.0f} GB/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from whisper_tpu.config import KernelConfig
 from whisper_tpu.hparams import KNOWN_MODELS
-from whisper_tpu.model.decoder import SelfKV, decode_step, init_self_kv, _cache_append
+from whisper_tpu.model.decoder import SelfKV, decode_step, init_self_kv, _cache_write
 from whisper_tpu.model.layers import dense, gelu, layer_norm, qkv_proj
 
 MODEL = os.environ.get("MODEL", "large-v2")
@@ -103,7 +103,7 @@ def main():
                 kv, n_past, acc = carry
                 logits, kv = decode_step(
                     params, dims, tok, n_past, kv, (xk, xv),
-                    logits_row=jnp.zeros((B,), jnp.int32), kernels=kernels,
+                    write_pos=n_past[0], kernels=kernels,
                 )
                 return kv, n_past + 1, acc + logits[0, 0]
 
@@ -185,20 +185,25 @@ def main():
 
     @jax.jit
     def append_loop(kv, k_new):
+        # the production pattern: full caches carried through the layer scan,
+        # one scalar-indexed DUS column write per layer (in-place under XLA's
+        # while-loop aliasing — traffic is the new columns, not the cache)
         def step(i, kv):
-            def layer(carry, ckv):
-                ck, cv = ckv
-                return carry, (_cache_append(ck, k_new, n_past0),
-                               _cache_append(cv, k_new, n_past0))
+            def layer(carry, li):
+                kk, vv = carry
+                kk = _cache_write(kk, li, k_new, i)
+                vv = _cache_write(vv, li, k_new, i)
+                return (kk, vv), None
 
-            _, (nk, nv) = jax.lax.scan(layer, 0.0, (kv.k, kv.v))
+            (nk, nv), _ = jax.lax.scan(
+                layer, (kv.k, kv.v), jnp.arange(L, dtype=jnp.int32))
             return SelfKV(nk, nv)
 
         return jax.lax.fori_loop(0, STEPS, step, kv)
 
     if "append" in parts:
-        bench("kv append (scan copy)", append_loop, kv0, k_new,
-              traffic_gb=2 * gb(2 * L * B * d * C))
+        bench("kv write (in-place DUS)", append_loop, kv0, k_new,
+              traffic_gb=gb(2 * L * B * d * 1))
 
     xrow = _fill((B, d))
 

@@ -90,16 +90,20 @@ def _beam_window(
     v = dims.n_vocab
     p_max = prompt.shape[1]
 
-    # --- prompt ingest on ALL beam lanes (identical content) ---
-    prompt_b = jnp.broadcast_to(prompt, (beam, p_max))
+    # --- prompt ingest on ALL beam lanes (identical content), left-aligned
+    # so the shared write_pos / last-row-logits contract of decode_step holds ---
+    prompt_b = jnp.broadcast_to(
+        jnp.roll(prompt, p_max - prompt_len, axis=-1), (beam, p_max))
     plen_b = jnp.broadcast_to(prompt_len, (beam,)).astype(jnp.int32)
+    attn_start = p_max - plen_b
     kv = init_self_kv(dims, beam, dtype=compute_dtype)
     cross_b = tuple(
         jnp.broadcast_to(x, (x.shape[0], beam) + x.shape[2:]) for x in cross_kv
     )
     logits0, kv = decode_step(
-        params, dims, prompt_b, jnp.zeros((beam,), jnp.int32), kv, cross_b,
-        compute_dtype=compute_dtype, logits_row=plen_b - 1, kernels=kernels,
+        params, dims, prompt_b, plen_b - p_max, kv, cross_b,
+        write_pos=0, attn_start=attn_start,
+        compute_dtype=compute_dtype, kernels=kernels,
     )
 
     st = _BeamState(
@@ -157,8 +161,8 @@ def _beam_window(
         n_past = plen_b + i
         logits, kv = decode_step(
             params, dims, token[:, None], n_past, kv, cross_b,
-            compute_dtype=compute_dtype, logits_row=jnp.zeros((beam,), jnp.int32),
-            kernels=kernels,
+            write_pos=p_max + i, attn_start=attn_start,
+            compute_dtype=compute_dtype, kernels=kernels,
         )
         return _BeamState(
             i=i + 1, kv=kv, logits=logits, scores=top_scores,

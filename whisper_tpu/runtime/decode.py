@@ -89,11 +89,16 @@ def decode_window(
     n_max = dims.n_text_ctx // 2 - 4
     chunk_frames = N_FRAMES  # 100 * WHISPER_CHUNK_SIZE
 
-    # ---- prompt ingest: one padded pass, logits at the last real token ----
-    zeros = jnp.zeros((b,), jnp.int32)
+    # ---- prompt ingest: left-align the right-padded prompt so every lane's
+    # last real token sits at column p_max-1 (shared scalar write positions
+    # keep the KV cache update a plain in-place dynamic_update_slice) ----
+    prompt_len = prompt_len.astype(jnp.int32)
+    attn_start = p_max - prompt_len                              # [B]
+    prompt = jax.vmap(lambda row, l: jnp.roll(row, p_max - l))(prompt, prompt_len)
     logits0, kv = decode_step(
-        params, dims, prompt, zeros, self_kv, cross_kv,
-        compute_dtype=compute_dtype, logits_row=prompt_len - 1, kernels=kernels,
+        params, dims, prompt, prompt_len - p_max, self_kv, cross_kv,
+        write_pos=0, attn_start=attn_start,
+        compute_dtype=compute_dtype, kernels=kernels,
     )
 
     st = _LoopState(
@@ -167,12 +172,13 @@ def decode_window(
             failed = jnp.zeros_like(failed)
             result_len = jnp.where(done, i + 1, result_len)
 
-        # --- decode the next token (runs for all lanes; frozen lanes ignore
-        # the result — their slot at n_past is past their real data) ---
+        # --- decode the next token (runs for all lanes at the shared cache
+        # column p_max+i; frozen lanes ignore the result — their garbage
+        # columns sit beyond their recorded tokens) ---
         logits, kv = decode_step(
             params, dims, out.id[:, None], st.n_past,
-            st.kv, cross_kv, compute_dtype=compute_dtype, logits_row=zeros,
-            kernels=kernels,
+            st.kv, cross_kv, write_pos=p_max + i, attn_start=attn_start,
+            compute_dtype=compute_dtype, kernels=kernels,
         )
         n_past = jnp.where(rec, st.n_past + 1, st.n_past)
 
