@@ -147,6 +147,99 @@ def test_decode_attention_start_mask(jnp):
     assert np.max(np.abs(got - ref())) < 1e-5
 
 
+def test_quantize_cols_roundtrip(jnp):
+    from whisper_tpu.kernels.quant import dequantize, quantize_cols
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((2, 64, 10)) * 3).astype(np.float32)
+    q, s = quantize_cols(jnp.asarray(x), axis=-2)
+    back = np.asarray(dequantize(q, s, jnp.float32))
+    # per-column symmetric int8: error bounded by half a quantization step
+    amax = np.abs(x).max(axis=-2, keepdims=True)
+    assert np.all(np.abs(back - x) <= amax / 127.0 * 0.5 + 1e-7)
+
+
+def test_decode_attention_int8_matches_dequantized(jnp):
+    """Kernel with int8 K/V + per-column scales == einsum on dequantized."""
+    from whisper_tpu.kernels.decode_attention import decode_attention_hd
+    from whisper_tpu.kernels.quant import dequantize, quantize_cols
+
+    rng = np.random.default_rng(8)
+    B, H, Dh, S = 2, 4, 64, 200
+    HD = H * Dh
+    q = rng.standard_normal((B, HD, 1)).astype(np.float32) * 0.3
+    kt = rng.standard_normal((B, HD, S)).astype(np.float32) * 0.5
+    vt = rng.standard_normal((B, HD, S)).astype(np.float32)
+
+    k8, ks = quantize_cols(jnp.asarray(kt), axis=-2)
+    v8, vs = quantize_cols(jnp.asarray(vt), axis=-2)
+    kd = np.asarray(dequantize(k8, ks, jnp.float32))
+    vd = np.asarray(dequantize(v8, vs, jnp.float32))
+
+    # reference: per-head softmax over dequantized values
+    k4 = kd.reshape(B, H, Dh, S)
+    v4 = vd.reshape(B, H, Dh, S)
+    q4 = q.reshape(B, H, Dh, 1)
+    sc = np.einsum("bhds,bhdo->bhs", k4, q4)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhs,bhds->bhd", p, v4).reshape(B, HD, 1)
+
+    got = np.asarray(decode_attention_hd(
+        jnp.asarray(q), k8, v8, H, k_scale=ks, v_scale=vs, interpret=True))
+    assert np.max(np.abs(got - want)) < 1e-5
+
+
+def test_decode_window_int8_kv_matches_reference_tokens(jnp):
+    """Full window loop with int8 self+cross KV must produce the same tokens
+    as the f32 einsum path on a scripted checkpoint (greedy margins are wide,
+    so <=1/127-step quantization noise must not flip any token)."""
+    import tempfile, os
+
+    from tests.helpers import (
+        TINY_TEST_DIMS, make_scripted_checkpoint, make_vocab_words,
+    )
+    from whisper_tpu.config import KernelConfig
+    from whisper_tpu.ggml import load_checkpoint
+    from whisper_tpu.model.params import DtypePolicy, params_from_checkpoint
+    from whisper_tpu.runtime.context import WhisperRuntime
+    from whisper_tpu.runtime.sampler import SpecialIds
+    from whisper_tpu.vocab import Vocabulary
+
+    beg, eot = 50_363, 50_256
+    script = [beg, 32, 104, 105, 32, 116, 112, 117, beg + 96, eot]
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.bin")
+        make_scripted_checkpoint(path, script)
+        cp = load_checkpoint(path)
+    params = params_from_checkpoint(cp, DtypePolicy.f32())
+    vocab = Vocabulary(make_vocab_words(cp.dims.n_vocab), cp.dims.n_vocab)
+    ids = SpecialIds.from_vocab(vocab)
+
+    rng = np.random.default_rng(21)
+    mel = rng.standard_normal((1, 80, 2 * cp.dims.n_audio_ctx)).astype(np.float32)
+
+    results = {}
+    for name, kcfg in (
+        ("reference", KernelConfig.reference()),
+        ("int8", KernelConfig(flash_attention=True, interpret=True, kv_int8=True)),
+    ):
+        rt = WhisperRuntime(params, cp.dims, ids, compute_dtype=jnp.float32, kernels=kcfg)
+        _, cross = rt.encode_window(mel)
+        padded = np.zeros((1, rt.prompt_capacity), np.int32)
+        padded[0, 0] = ids.sot
+        res = rt.run_window(
+            padded, np.ones((1,), np.int32), cross,
+            np.zeros((1,), np.int32), np.full((1,), 10**6, np.int32),
+        )
+        results[name] = (
+            list(np.asarray(res.tokens)[0][: int(np.asarray(res.result_len)[0])]),
+            bool(np.asarray(res.failed)[0]),
+        )
+    assert results["reference"] == results["int8"]
+    assert results["int8"][0] == script[:-1]  # script minus the EOT
+
+
 def test_decode_window_with_pallas_cross_matches_einsum_path(jnp):
     """Full on-device window loop: pallas cross-attention (interpret) must
     produce identical tokens to the einsum path."""

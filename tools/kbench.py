@@ -194,6 +194,60 @@ def main():
         return (jnp.sum(kk, axis=-1, keepdims=True, dtype=jnp.float32)
                 + jnp.sum(vv, axis=-1, keepdims=True, dtype=jnp.float32))
 
+    def kernel_vpu8(lim, q_ref, k_ref, v_ref, sk_ref, sv_ref, o_ref, m_sc, l_sc, acc):
+        ci = pl.program_id(1)
+
+        @pl.when(ci == 0)
+        def _():
+            m_sc[...] = jnp.full((H, 1), -jnp.inf, jnp.float32)
+            l_sc[...] = jnp.zeros((H, 1), jnp.float32)
+            acc[...] = jnp.zeros((HD, 1), jnp.float32)
+
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)              # int8 -> f32
+        v = v_ref[0].astype(jnp.float32)
+        sk = sk_ref[0].astype(jnp.float32)            # [1, cs] per-column scale
+        sv = sv_ref[0].astype(jnp.float32)
+        scores = jnp.sum((k * q).reshape(H, DH, CS), axis=1) * sk
+        col = ci * CS + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < S, scores, -jnp.inf)
+        m_run = m_sc[...]
+        m_new = jnp.maximum(m_run, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_run - m_new)
+        p = jnp.exp(scores - m_new)
+        l_sc[...] = l_sc[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_sc[...] = m_new
+        p = p * sv
+        pb = jnp.broadcast_to(p[:, None, :], (H, DH, CS)).reshape(HD, CS)
+        ab = jnp.broadcast_to(alpha[:, None, :], (H, DH, 1)).reshape(HD, 1)
+        acc[...] = acc[...] * ab + jnp.sum(v * pb, axis=-1, keepdims=True)
+
+        @pl.when(ci == N_CHUNKS - 1)
+        def _():
+            l = l_sc[...]
+            lb = jnp.broadcast_to(l[:, None, :], (H, DH, 1)).reshape(HD, 1)
+            o_ref[0] = acc[...] / lb
+
+    vpu8_call = pl.pallas_call(
+        kernel_vpu8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, N_CHUNKS),
+            in_specs=[
+                pl.BlockSpec((1, HD, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, HD, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, HD, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, HD, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, 1), jnp.float32), pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((HD, 1), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, HD, 1), jnp.float32),
+    )
+
     variants = {
         "read": make_pallas(kernel_read, [pltpu.VMEM((HD, 1), jnp.float32)]),
         "rows": make_rows(),
@@ -271,8 +325,65 @@ def main():
         acc, _ = jax.lax.scan(layer, 0.0, (k, v))
         return acc
 
+    @jax.jit
+    def _to_int8(x):
+        return jnp.clip(x.astype(jnp.float32) * 1000, -127, 127).astype(jnp.int8)
+
+    k8_all = _to_int8(k)
+    v8_all = _to_int8(v)
+    sc_all = jnp.ones((L, B, 1, S_PAD), jnp.float32)
+
+    @jax.jit
+    def _vpu8(q, k8, v8, sc):
+        def layer(acc, kv8):
+            kk, vv, sk, sv = kv8
+            o = vpu8_call(lim, q, kk, vv, sk, sv)
+            return acc + o[0, 0, 0], None
+
+        acc, _ = jax.lax.scan(layer, 0.0, (k8, v8, sc, sc))
+        return acc
+
+    def vpu8(q, k, v):
+        return _vpu8(q, k8_all, v8_all, sc_all)
+
+    # weight-only int8 matmul through XLA (dequant epilogue fusion test):
+    # 14*d*d weights per layer like the real decoder block
+    DW = 14 * 1280
+    Wb_all = jax.jit(lambda: fill((L, 1280, DW)), static_argnums=())()
+    W8_all = _to_int8(Wb_all)
+    wscale = jnp.ones((DW,), jnp.float32)
+    x0w = jnp.ones((8, 1280), jnp.bfloat16)
+    wgb = L * 1280 * DW / 1e9  # int8 GB per pass (x2 for bf16)
+
+    @jax.jit
+    def _w8mm(x0, W8):
+        def layer(x, w8):
+            y = jnp.dot(x, w8.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            y = y * wscale
+            return (y[:, :1280].astype(jnp.bfloat16) * jnp.bfloat16(1e-3)), None
+
+        x, _ = jax.lax.scan(layer, x0, W8)
+        return x
+
+    @jax.jit
+    def _wbfmm(x0, Wb):
+        def layer(x, wb):
+            y = jnp.dot(x, wb, preferred_element_type=jnp.float32)
+            return (y[:, :1280].astype(jnp.bfloat16) * jnp.bfloat16(1e-3)), None
+
+        x, _ = jax.lax.scan(layer, x0, Wb)
+        return x
+
+    def w8mm(q, k, v):
+        return _w8mm(x0w, W8_all)
+
+    def wbfmm(q, k, v):
+        return _wbfmm(x0w, Wb_all)
+
     whole = {"flat": flat_reduce, "gemv": gemv_read, "copy": copy_scale,
-             "flatread": flatread, "gemv2d": gemv2d}
+             "flatread": flatread, "gemv2d": gemv2d, "vpu8": vpu8,
+             "w8mm": w8mm, "wbfmm": wbfmm}
 
     sel = os.environ.get("VARIANTS", "read,vpu,mxu").split(",")
     for name in sel:

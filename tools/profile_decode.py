@@ -63,10 +63,11 @@ def main():
 
     from whisper_tpu.tools.synthetic import make_synthetic_params
 
+    KV_INT8 = os.environ.get("KV_INT8", "0") == "1"
     params = make_synthetic_params(dims, bf)
     jax.block_until_ready(params)
     key = jax.random.PRNGKey(1)
-    kv0 = init_self_kv(dims, B, bf)
+    kv0 = init_self_kv(dims, B, bf, quant=KV_INT8)
 
     # cheap deterministic fill — jax.random at these shapes costs a remote
     # compile per shape, minutes of setup on axon
@@ -77,6 +78,19 @@ def main():
 
     xk = _fill((L, B, d, Sx))
     xv = _fill((L, B, d, Sx))
+    if KV_INT8:
+        from whisper_tpu.kernels.quant import quantize_cols
+
+        @jax.jit
+        def _q(x):
+            return quantize_cols(x, axis=-2)
+
+        from whisper_tpu.model.encoder import CrossKV
+
+        (xk, xk_s), (xv, xv_s) = _q(xk), _q(xv)
+        cross = CrossKV(xk, xv, xk_s, xv_s)
+    else:
+        cross = (xk, xv)
     n_past0 = jnp.full((B,), 8, jnp.int32)
     tok = jnp.full((B, 1), 100, jnp.int32)
     blocks = params["dec"]["blocks"]
@@ -98,11 +112,11 @@ def main():
     # ---- full decode_step loop (kernel + einsum paths) ----
     def full_loop(kernels):
         @jax.jit
-        def run(params, kv, xk, xv):
+        def run(params, kv, cross):
             def body(i, carry):
                 kv, n_past, acc = carry
                 logits, kv = decode_step(
-                    params, dims, tok, n_past, kv, (xk, xv),
+                    params, dims, tok, n_past, kv, cross,
                     write_pos=n_past[0], kernels=kernels,
                 )
                 return kv, n_past + 1, acc + logits[0, 0]
@@ -116,10 +130,10 @@ def main():
     kc = KernelConfig.auto()
     full_k = full_e = float("nan")
     if "full" in parts:
-        full_k = bench("decode_step (pallas)", full_loop(kc), params, kv0, xk, xv,
+        full_k = bench("decode_step (pallas)", full_loop(kc), params, kv0, cross,
                        traffic_gb=sum(traffic.values()))
     if "einsum" in parts:
-        full_e = bench("decode_step (einsum)", full_loop(None), params, kv0, xk, xv,
+        full_e = bench("decode_step (einsum)", full_loop(None), params, kv0, cross,
                        traffic_gb=sum(traffic.values()))
 
     # ---- components ----
@@ -148,6 +162,53 @@ def main():
 
     if "denses" in parts:
         bench("dense matmuls only", denses_only, blocks, x0, traffic_gb=traffic["denses"])
+
+    # int8 weight variant: same loop, weights int8 with per-output-column
+    # scales applied as a matmul epilogue (tests whether XLA fuses the
+    # int8->bf16 convert into the dot's operand stream)
+    W_KEYS = ("qkv_w", "o_w", "xq_w", "xo_w", "fc1_w", "fc2_w")
+
+    @jax.jit
+    def _quant_blocks(blocks):
+        out = dict(blocks)
+        for key in W_KEYS:
+            w = blocks[key].astype(jnp.float32)
+            amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)      # [L,1,out]
+            sc = jnp.maximum(amax, 1e-8) / 127.0
+            out[key] = jnp.clip(jnp.round(w / sc), -127, 127).astype(jnp.int8)
+            out[key + "_s"] = sc
+        return out
+
+    @jax.jit
+    def denses8_only(blocks, x0):
+        def dq_dense(x, w8, sc, b):
+            y = jnp.dot(x, w8.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            return y * sc + b
+
+        def step(i, x):
+            def layer(x, blk):
+                h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(bf)
+                qkv = dq_dense(h, blk["qkv_w"], blk["qkv_w_s"], blk["qkv_b"])
+                att = (qkv[..., :d] + qkv[..., d:2*d] + qkv[..., 2*d:]).astype(bf)
+                x = x + dq_dense(att, blk["o_w"], blk["o_w_s"], blk["o_b"]).astype(bf)
+                h = layer_norm(x, blk["x_ln_w"], blk["x_ln_b"]).astype(bf)
+                xq = dq_dense(h, blk["xq_w"], blk["xq_w_s"], blk["xq_b"]).astype(bf)
+                x = x + dq_dense(xq, blk["xo_w"], blk["xo_w_s"], blk["xo_b"]).astype(bf)
+                h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]).astype(bf)
+                h = gelu(dq_dense(h, blk["fc1_w"], blk["fc1_w_s"], blk["fc1_b"])).astype(bf)
+                x = x + dq_dense(h, blk["fc2_w"], blk["fc2_w_s"], blk["fc2_b"]).astype(bf)
+                return x, 0.0
+
+            x, _ = jax.lax.scan(layer, x, blocks)
+            return x
+
+        return jax.lax.fori_loop(0, STEPS, step, x0)
+
+    if "denses8" in parts:
+        blocks8 = _quant_blocks(blocks)
+        jax.block_until_ready(blocks8)
+        bench("dense matmuls int8", denses8_only, blocks8, x0,
+              traffic_gb=traffic["denses"] / 2)
 
     from whisper_tpu.kernels.decode_attention import decode_attention_hd
 

@@ -33,13 +33,17 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-_CHUNK = 512  # S-chunk per grid step: keeps blocks + f32 temps inside VMEM
+_CHUNK = 512   # bf16 S-chunk per grid step: blocks + f32 temps fit VMEM
+_CHUNK8 = 1536  # int8 blocks are half-size -> 3x larger chunks, 3x fewer
+                # grid steps (each step carries ~4 us fixed cost on v5e)
 
 
-def _kernel(lo, hi, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
+def _kernel(lo, hi, q_ref, k_ref, v_ref, sk_ref, sv_ref, o_ref,
+            m_sc, l_sc, acc_sc, *,
             h: int, dh: int, cs: int, n_chunks: int, s_real: int, masked: bool):
     """One (batch, s-chunk) grid step with online-softmax scratch carried
-    across the chunk axis. Blocks: q [1,HD,1]; k/v [1,HD,cs]; o [1,HD,1].
+    across the chunk axis. Blocks: q [1,HD,1]; k/v [1,HD,cs]; o [1,HD,1];
+    optional per-column int8 scales sk/sv [1,1,cs] (None = unquantized).
 
     VPU formulation (segment-sum scores, lane-sum value product): measured
     faster than a head-masked MXU dot_general formulation (5.2 vs 5.8
@@ -59,6 +63,8 @@ def _kernel(lo, hi, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
     v = v_ref[0].astype(jnp.float32)
 
     scores = jnp.sum((k * q).reshape(h, dh, cs), axis=1)       # [H, cs]
+    if sk_ref is not None:
+        scores = scores * sk_ref[0]                            # [1, cs] bcast
     col = ci * cs + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     if masked:
         keep = (col >= lo) & (col < hi)
@@ -73,6 +79,8 @@ def _kernel(lo, hi, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
     l_sc[...] = l_sc[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_sc[...] = m_new
 
+    if sv_ref is not None:
+        p = p * sv_ref[0]                                      # fold V dequant
     pb = jnp.broadcast_to(p[:, None, :], (h, dh, cs)).reshape(hd, cs)
     ab = jnp.broadcast_to(alpha[:, None, :], (h, dh, 1)).reshape(hd, 1)
     acc_sc[...] = acc_sc[...] * ab + jnp.sum(v * pb, axis=-1, keepdims=True)
@@ -92,6 +100,8 @@ def decode_attention_hd(
     n_head: int,
     valid_len: jax.Array | None = None,  # [B] int32: keys < valid_len attended
     start: jax.Array | None = None,      # [B] int32: keys >= start attended
+    k_scale: jax.Array | None = None,    # [B, 1, S] f32: int8 K column scales
+    v_scale: jax.Array | None = None,    # [B, 1, S] f32: int8 V column scales
     interpret: bool = False,
 ) -> jax.Array:
     """Single-query attention in flat head-major layout -> [B, H*Dh, 1] f32.
@@ -99,32 +109,47 @@ def decode_attention_hd(
     One grid step per batch lane handles every head: the whole [HD, S] K/V
     tile streams through the VPU once (segment-sum over head row-groups).
     ``start``/``valid_len`` bound the attended key interval per lane — the
-    left-padded-prompt cache keeps garbage in columns < start."""
+    left-padded-prompt cache keeps garbage in columns < start.
+    ``k_scale``/``v_scale`` dequantize int8 K/V per column inside the kernel
+    (kernels/quant.py) — folded into scores / softmax weights."""
     b, hd, s = k_t.shape
     dh = hd // n_head
+    chunk = _CHUNK8 if k_t.dtype == jnp.int8 else _CHUNK
     # pad so the kernel's S-chunk loop divides evenly
-    s_pad = _ceil_to(s, _LANE) if s <= _CHUNK else _ceil_to(s, _CHUNK)
+    s_pad = _ceil_to(s, _LANE) if s <= chunk else _ceil_to(s, chunk)
     if s_pad != s:
         k_t = jnp.pad(k_t, ((0, 0), (0, 0), (0, s_pad - s)))
         v_t = jnp.pad(v_t, ((0, 0), (0, 0), (0, s_pad - s)))
+        if k_scale is not None:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, s_pad - s)))
+        if v_scale is not None:
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, s_pad - s)))
 
     masked = valid_len is not None or start is not None
     if valid_len is None:
         valid_len = jnp.full((b,), s, jnp.int32)
     if start is None:
         start = jnp.zeros((b,), jnp.int32)
+    scaled = k_scale is not None
+    assert (v_scale is not None) == scaled, "k_scale/v_scale go together"
 
-    cs = min(_CHUNK, s_pad)
+    cs = min(chunk, s_pad)
     n_chunks = s_pad // cs
+
+    kv_spec = pl.BlockSpec((1, hd, cs), lambda i, c, *_: (i, 0, c),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, 1, cs), lambda i, c, *_: (i, 0, c),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, hd, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        kv_spec,
+        kv_spec,
+    ] + ([sc_spec, sc_spec] if scaled else [])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, hd, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd, cs), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd, cs), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hd, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_head, 1), jnp.float32),
@@ -133,16 +158,21 @@ def decode_attention_hd(
         ],
     )
 
-    def kernel(lim_pref, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc):
+    def kernel(lim_pref, q_ref, k_ref, v_ref, *rest):
+        sk_ref, sv_ref = (rest[0], rest[1]) if scaled else (None, None)
+        o_ref, m_sc, l_sc, acc_sc = rest[2 if scaled else 0:]
         i = pl.program_id(0)
         _kernel(
-            lim_pref[i, 0], lim_pref[i, 1], q_ref, k_ref, v_ref, o_ref,
-            m_sc, l_sc, acc_sc,
+            lim_pref[i, 0], lim_pref[i, 1], q_ref, k_ref, v_ref,
+            sk_ref, sv_ref, o_ref, m_sc, l_sc, acc_sc,
             h=n_head, dh=dh, cs=cs, n_chunks=n_chunks, s_real=s, masked=masked,
         )
 
     limits = jnp.stack(
         [start.astype(jnp.int32), valid_len.astype(jnp.int32)], axis=1)  # [B,2]
+    operands = [limits, q, k_t, v_t]
+    if scaled:
+        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -153,7 +183,7 @@ def decode_attention_hd(
             bytes_accessed=(k_t.size + v_t.size) * k_t.dtype.itemsize,
             transcendentals=b * n_head * s,
         ),
-    )(limits, q, k_t, v_t)
+    )(*operands)
     return out
 
 

@@ -45,14 +45,20 @@ class SelfKV(NamedTuple):
 
     TRANSPOSED layout [L, B, H*Dh, C] (features-major, like the cross KV):
     appends write a column, and single-token attention streams [Dh, C]
-    tiles through the decode-attention kernel."""
+    tiles through the decode-attention kernel.
+
+    When int8-quantized (kernels/quant.py), k/v are int8 and k_s/v_s hold
+    per-column f32 scales [L, B, 1, C]; otherwise k_s/v_s are None."""
 
     k: jax.Array  # [L, B, HD, C]
     v: jax.Array  # [L, B, HD, C]
+    k_s: jax.Array | None = None  # [L, B, 1, C] f32 (int8 mode)
+    v_s: jax.Array | None = None
 
 
 def init_self_kv(
-    dims: ModelDims, batch: int, dtype=jnp.bfloat16, cache_len: int | None = None
+    dims: ModelDims, batch: int, dtype=jnp.bfloat16,
+    cache_len: int | None = None, quant: bool = False,
 ) -> SelfKV:
     shape = (
         dims.n_text_layer,
@@ -60,6 +66,12 @@ def init_self_kv(
         dims.n_text_state,
         cache_len or dims.n_text_ctx,
     )
+    if quant:
+        sshape = shape[:2] + (1, shape[3])
+        return SelfKV(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32),
+        )
     return SelfKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -74,8 +86,9 @@ def _cache_write(cache: jax.Array, li, new: jax.Array, col) -> jax.Array:
     )
 
 
-def _cross_attention(h, blk, xk, xv, n_head, compute_dtype, kernels):
-    """Cross-attention over transposed kvCross [B, HD, Sx].
+def _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels):
+    """Cross-attention over transposed kvCross [B, HD, Sx] (optionally int8
+    with per-column scales xk_s/xv_s [B, 1, Sx]).
     h: normalized input [B, S, d]. Returns [B, S, d] f32 context."""
     b, s, d = h.shape
     q = dense(h, blk["xq_w"], blk["xq_b"]).astype(compute_dtype)  # [B, S, HD]
@@ -86,10 +99,16 @@ def _cross_attention(h, blk, xk, xv, n_head, compute_dtype, kernels):
         from whisper_tpu.kernels.decode_attention import decode_attention_hd
 
         out = decode_attention_hd(
-            q.transpose(0, 2, 1), xk, xv, n_head, interpret=kernels.interpret
+            q.transpose(0, 2, 1), xk, xv, n_head,
+            k_scale=xk_s, v_scale=xv_s, interpret=kernels.interpret
         )                                                      # [B, HD, 1]
         return out.transpose(0, 2, 1)                          # [B, 1, HD] f32
     # einsum path (prompt ingest / reference numerics)
+    if xk_s is not None:
+        from whisper_tpu.kernels.quant import dequantize
+
+        xk = dequantize(xk, xk_s, compute_dtype)
+        xv = dequantize(xv, xv_s, compute_dtype)
     dh = d // n_head
     sx = xk.shape[-1]
     q4 = q.reshape(b, s, n_head, dh)
@@ -101,9 +120,10 @@ def _cross_attention(h, blk, xk, xv, n_head, compute_dtype, kernels):
     return out.reshape(b, s, d)
 
 
-def _self_attention(q, k_cache, v_cache, write_pos, attn_start, n_head,
-                    compute_dtype, kernels):
-    """Masked self-attention over the transposed cache [B, HD, C].
+def _self_attention(q, k_cache, v_cache, k_s, v_s, write_pos, attn_start,
+                    n_head, compute_dtype, kernels):
+    """Masked self-attention over the transposed cache [B, HD, C] (optionally
+    int8 with per-column scales k_s/v_s [B, 1, C]).
     q [B,S,H,Dh]; queries sit at cache columns write_pos..write_pos+S-1.
     Per-lane valid keys are [attn_start_b, query_column]. Returns [B,S,d] f32."""
     b, s, h, dh = q.shape
@@ -116,9 +136,15 @@ def _self_attention(q, k_cache, v_cache, write_pos, attn_start, n_head,
         out = decode_attention_hd(
             q.reshape(b, 1, d).transpose(0, 2, 1), k_cache, v_cache, n_head,
             valid_len=jnp.broadcast_to(write_pos + 1, (b,)),
-            start=attn_start, interpret=kernels.interpret,
+            start=attn_start, k_scale=k_s, v_scale=v_s,
+            interpret=kernels.interpret,
         )                                                      # [B, HD, 1]
         return out.transpose(0, 2, 1)                          # [B, 1, d] f32
+    if k_s is not None:
+        from whisper_tpu.kernels.quant import dequantize
+
+        k_cache = dequantize(k_cache, k_s, compute_dtype)
+        v_cache = dequantize(v_cache, v_s, compute_dtype)
     k4 = k_cache.reshape(b, h, dh, cache_len)
     v4 = v_cache.reshape(b, h, dh, cache_len)
     scores = jnp.einsum("bthd,bhds->bhts", q, k4, preferred_element_type=jnp.float32)
@@ -134,39 +160,54 @@ def _self_attention(q, k_cache, v_cache, write_pos, attn_start, n_head,
     return out.reshape(b, s, d)
 
 
-def _decoder_block(x, blk, k_full, v_full, li, write_pos, attn_start, xk, xv,
-                   n_head, compute_dtype, kernels=None):
+def _decoder_block(x, blk, kv: SelfKV, li, write_pos, attn_start, xk, xv,
+                   xk_s, xv_s, n_head, compute_dtype, kernels=None):
     """One decoder block operating on the FULL stacked cache.
-    x [B,S,d]; k_full/v_full [L,B,HD,C]; li scalar layer index; xk/xv
-    [B,HD,Sx] (transposed). Returns (x, k_full, v_full)."""
+    x [B,S,d]; kv holds [L,B,HD,C] caches (+ scales when int8); li scalar
+    layer index; xk/xv [B,HD,Sx] (transposed, + optional scales [B,1,Sx]).
+    Returns (x, kv)."""
     b, s, d = x.shape
+    quant = kv.k_s is not None
 
     # --- masked self-attention with in-place KV column write ---
     h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(compute_dtype)
     q, k_new, v_new = qkv_proj(h, blk["qkv_w"], blk["qkv_b"], n_head)
     q = q.astype(compute_dtype)
+    k_new = k_new.reshape(b, s, d)
+    v_new = v_new.reshape(b, s, d)
 
-    k_full = _cache_write(
-        k_full, li, k_new.reshape(b, s, d).astype(k_full.dtype), write_pos)
-    v_full = _cache_write(
-        v_full, li, v_new.reshape(b, s, d).astype(v_full.dtype), write_pos)
-    k_cache = jax.lax.dynamic_index_in_dim(k_full, li, 0, keepdims=False)
-    v_cache = jax.lax.dynamic_index_in_dim(v_full, li, 0, keepdims=False)
+    if quant:
+        from whisper_tpu.kernels.quant import quantize_cols
 
-    att = _self_attention(q, k_cache, v_cache, write_pos, attn_start, n_head,
-                          compute_dtype, kernels)
+        k_q, k_sc = quantize_cols(k_new, axis=-1)   # int8 [B,S,HD], f32 [B,S,1]
+        v_q, v_sc = quantize_cols(v_new, axis=-1)
+        kv = SelfKV(
+            _cache_write(kv.k, li, k_q, write_pos),
+            _cache_write(kv.v, li, v_q, write_pos),
+            _cache_write(kv.k_s, li, k_sc, write_pos),
+            _cache_write(kv.v_s, li, v_sc, write_pos),
+        )
+    else:
+        kv = SelfKV(
+            _cache_write(kv.k, li, k_new.astype(kv.k.dtype), write_pos),
+            _cache_write(kv.v, li, v_new.astype(kv.v.dtype), write_pos),
+        )
+    sl = lambda a: (jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+                    if a is not None else None)
+    att = _self_attention(q, sl(kv.k), sl(kv.v), sl(kv.k_s), sl(kv.v_s),
+                          write_pos, attn_start, n_head, compute_dtype, kernels)
     x = x + dense(att.astype(compute_dtype), blk["o_w"], blk["o_b"]).astype(compute_dtype)
 
     # --- cross-attention over precomputed (pre-scaled, transposed) kvCross ---
     h = layer_norm(x, blk["x_ln_w"], blk["x_ln_b"]).astype(compute_dtype)
-    att = _cross_attention(h, blk, xk, xv, n_head, compute_dtype, kernels)
+    att = _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels)
     x = x + dense(att.astype(compute_dtype), blk["xo_w"], blk["xo_b"]).astype(compute_dtype)
 
     # --- MLP ---
     h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]).astype(compute_dtype)
     h = gelu(dense(h, blk["fc1_w"], blk["fc1_b"])).astype(compute_dtype)
     x = x + dense(h, blk["fc2_w"], blk["fc2_b"]).astype(compute_dtype)
-    return x, k_full, v_full
+    return x, kv
 
 
 def decode_step(
@@ -197,6 +238,11 @@ def decode_step(
     pos0 = jnp.asarray(pos0, jnp.int32)
     if attn_start is None:
         attn_start = jnp.zeros((b,), jnp.int32)
+    # cross_kv: (k, v) tuple or encoder.CrossKV (k, v, k_s, v_s) when int8
+    xk_s = cross_kv[2] if len(cross_kv) > 2 else None
+    xv_s = cross_kv[3] if len(cross_kv) > 2 else None
+    cross_quant = xk_s is not None
+    self_quant = self_kv.k_s is not None
 
     n_ctx = dec["pos"].shape[0]
     pos_idx = jnp.clip(
@@ -205,20 +251,24 @@ def decode_step(
     x = (dec["tok"][tokens] + dec["pos"][pos_idx]).astype(compute_dtype)
 
     def body(carry, layer):
-        x, kk, vv = carry
-        li, blk, xk, xv = layer
-        x, kk, vv = _decoder_block(
-            x, blk, kk, vv, li, write_pos, attn_start, xk, xv,
+        x, kv = carry
+        if cross_quant:
+            li, blk, xk, xv, xks, xvs = layer
+        else:
+            li, blk, xk, xv = layer
+            xks = xvs = None
+        x, kv = _decoder_block(
+            x, blk, kv, li, write_pos, attn_start, xk, xv, xks, xvs,
             dims.n_text_head, compute_dtype, kernels,
         )
-        return (x, kk, vv), None
+        return (x, kv), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body,
-        (x, self_kv.k, self_kv.v),
-        (jnp.arange(dims.n_text_layer, dtype=jnp.int32), dec["blocks"],
-         cross_kv[0], cross_kv[1]),
-    )
+    carry0 = (x, self_kv if self_quant else SelfKV(self_kv.k, self_kv.v))
+    xs = (jnp.arange(dims.n_text_layer, dtype=jnp.int32), dec["blocks"],
+          cross_kv[0], cross_kv[1])
+    if cross_quant:
+        xs = xs + (xk_s, xv_s)
+    (x, new_kv), _ = jax.lax.scan(body, carry0, xs)
 
     x = layer_norm(x, dec["ln_w"], dec["ln_b"])  # [B, S, d] f32
     if last_only:
@@ -228,4 +278,4 @@ def decode_step(
         dec["tok"].T.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    return logits, SelfKV(new_k, new_v)
+    return logits, new_kv

@@ -15,6 +15,8 @@ Behavioral spec from the reference:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -106,25 +108,46 @@ def encode(
     return layer_norm(x, enc["ln_post_w"], enc["ln_post_b"])  # f32
 
 
+class CrossKV(NamedTuple):
+    """Per-window cross-attention K/V for all decoder layers (the kvCross
+    analogue, KeyValueBuffers.h:7-53). Indexable like the legacy (k, v)
+    tuple; k_s/v_s are per-column int8 scales [L, B, 1, T] or None."""
+
+    k: jax.Array                  # [L, B, HD, T]
+    v: jax.Array
+    k_s: jax.Array | None = None
+    v_s: jax.Array | None = None
+
+
 def precompute_cross_kv(
     params,
     dims: ModelDims,
     audio_features: jax.Array,   # [B, T, d] f32 (encode output)
     compute_dtype=jnp.bfloat16,
-) -> tuple[jax.Array, jax.Array]:
+    quant: bool = False,
+) -> CrossKV:
     """Cross-attention K/V for every decoder layer, K pre-scaled.
 
-    Returns (xk, xv), each [L, B, H*Dh, T] in compute_dtype — the analogue of
-    the reference's kvCross buffers (KeyValueBuffers.h:7-53), stored
-    TRANSPOSED (features-major) so the per-token decode attention streams
-    them as [Dh, S] tiles (kernels/decode_attention.py)."""
+    Returns CrossKV with k/v [L, B, H*Dh, T] in compute_dtype (int8 +
+    per-column scales when ``quant`` — decode reads this array 100+ times
+    per window, so halving its bytes halves the dominant decode stream),
+    stored TRANSPOSED (features-major) so the per-token decode attention
+    streams them as [Dh, S] tiles (kernels/decode_attention.py)."""
     xf = audio_features.astype(compute_dtype)
 
     def body(_, blk):
         # K pre-scale is folded into xk_w at load (params.fuse_qkv docstring)
         k = dense(xf, blk["xk_w"]).astype(compute_dtype)          # [B, T, HD]
         v = dense(xf, blk["xv_w"], blk["xv_b"]).astype(compute_dtype)
-        return None, (k.transpose(0, 2, 1), v.transpose(0, 2, 1))  # [B, HD, T]
+        k = k.transpose(0, 2, 1)                                  # [B, HD, T]
+        v = v.transpose(0, 2, 1)
+        if quant:
+            from whisper_tpu.kernels.quant import quantize_cols
 
-    _, (xk, xv) = jax.lax.scan(body, None, params["dec"]["blocks"])
-    return xk, xv
+            k, ks = quantize_cols(k, axis=-2)
+            v, vs = quantize_cols(v, axis=-2)
+            return None, (k, v, ks, vs)
+        return None, (k, v)
+
+    _, out = jax.lax.scan(body, None, params["dec"]["blocks"])
+    return CrossKV(*out)

@@ -96,9 +96,12 @@ def _beam_window(
         jnp.roll(prompt, p_max - prompt_len, axis=-1), (beam, p_max))
     plen_b = jnp.broadcast_to(prompt_len, (beam,)).astype(jnp.int32)
     attn_start = p_max - plen_b
-    kv = init_self_kv(dims, beam, dtype=compute_dtype)
-    cross_b = tuple(
-        jnp.broadcast_to(x, (x.shape[0], beam) + x.shape[2:]) for x in cross_kv
+    kv = init_self_kv(
+        dims, beam, dtype=compute_dtype,
+        quant=kernels.kv_int8 if kernels is not None else False,
+    )
+    cross_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (x.shape[0], beam) + x.shape[2:]), cross_kv
     )
     logits0, kv = decode_step(
         params, dims, prompt_b, plen_b - p_max, kv, cross_b,
@@ -138,7 +141,7 @@ def _beam_window(
         token = (flat_idx % v).astype(jnp.int32)
 
         # reorder all per-beam state by parent
-        kv = SelfKV(st.kv.k[:, parent], st.kv.v[:, parent])
+        kv = jax.tree_util.tree_map(lambda a: a[:, parent], st.kv)
         tokens = st.tokens[parent]
         p_arr = st.p[parent]
         pt_arr = st.pt[parent]

@@ -49,7 +49,10 @@ class WhisperRuntime:
         @functools.partial(jax.jit)
         def _encode_window(params, mel):
             feats = encode(params, dims, mel, compute_dtype=compute_dtype, kernels=kcfg)
-            cross = precompute_cross_kv(params, dims, feats, compute_dtype=compute_dtype)
+            cross = precompute_cross_kv(
+                params, dims, feats, compute_dtype=compute_dtype,
+                quant=kcfg.kv_int8,
+            )
             return feats, cross
 
         @functools.partial(
@@ -60,7 +63,8 @@ class WhisperRuntime:
             params, prompt, prompt_len, cross_kv, seek, seek_end,
             max_tokens, single_segment, force_steps,
         ) -> WindowResult:
-            kv = init_self_kv(dims, prompt.shape[0], dtype=compute_dtype)
+            kv = init_self_kv(
+                dims, prompt.shape[0], dtype=compute_dtype, quant=kcfg.kv_int8)
             return decode_window(
                 params, dims, special_ids, prompt, prompt_len, kv, cross_kv,
                 seek, seek_end, max_tokens=max_tokens,
