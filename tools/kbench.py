@@ -194,6 +194,111 @@ def main():
         return (jnp.sum(kk, axis=-1, keepdims=True, dtype=jnp.float32)
                 + jnp.sum(vv, axis=-1, keepdims=True, dtype=jnp.float32))
 
+    # ONE pallas call streaming every layer: grid (L, B, chunks). Isolates
+    # per-call overhead (32 calls in the scan variants) from per-grid-step
+    # overhead (same step count here).
+    def kernel_read3(lim, k_ref, v_ref, o_ref, acc):
+        ci = pl.program_id(2)
+
+        @pl.when(ci == 0)
+        def _():
+            acc[...] = jnp.zeros((HD, 1), jnp.float32)
+
+        acc[...] += jnp.sum(
+            k_ref[0, 0].astype(jnp.float32) + v_ref[0, 0].astype(jnp.float32),
+            axis=1, keepdims=True)
+
+        @pl.when(ci == N_CHUNKS - 1)
+        def _():
+            o_ref[0, 0] = acc[...]
+
+    read1_call = pl.pallas_call(
+        kernel_read3,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, B, N_CHUNKS),
+            in_specs=[
+                pl.BlockSpec((1, 1, HD, CS), lambda l, i, c, *_: (l, i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, HD, CS), lambda l, i, c, *_: (l, i, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, HD, 1), lambda l, i, c, *_: (l, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((HD, 1), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, B, HD, 1), jnp.float32),
+    )
+
+    @jax.jit
+    def _read1(q, k, v):
+        return jnp.sum(read1_call(lim, k, v))
+
+    def read1(q, k, v):
+        return _read1(q, k, v)
+
+    # batched per-head MXU dots: scores = q_h^T K_h and out = p_h V_h^T via
+    # dot_general with H as a batch dim — streams K/V through the MXU (the
+    # path measured fastest for the dense GEMVs) instead of VPU segment sums
+    def kernel_mxub(lim, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc):
+        ci = pl.program_id(1)
+
+        @pl.when(ci == 0)
+        def _():
+            m_sc[...] = jnp.full((H, 1), -jnp.inf, jnp.float32)
+            l_sc[...] = jnp.zeros((H, 1), jnp.float32)
+            acc[...] = jnp.zeros((H, DH), jnp.float32)
+
+        q = q_ref[0].reshape(H, DH, 1).astype(jnp.bfloat16)
+        k = k_ref[0].reshape(H, DH, CS).astype(jnp.bfloat16)
+        v = v_ref[0].reshape(H, DH, CS).astype(jnp.bfloat16)
+        # [H, 1, CS] = sum_dh q[H,dh,1] * k[H,dh,CS]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]        # [H, CS]
+        col = ci * CS + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < S, scores, -jnp.inf)
+        m_run = m_sc[...]
+        m_new = jnp.maximum(m_run, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_run - m_new)
+        p = jnp.exp(scores - m_new)
+        l_sc[...] = l_sc[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_sc[...] = m_new
+        # [H, DH, 1] = sum_cs v[H,dh,CS] * p[H,CS,1]
+        upd = jax.lax.dot_general(
+            v, p[:, :, None].astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, :, 0]        # [H, DH]
+        acc[...] = acc[...] * alpha + upd
+
+        @pl.when(ci == N_CHUNKS - 1)
+        def _():
+            o_ref[0] = acc[...] / l_sc[...]
+
+    mxub_inner = pl.pallas_call(
+        kernel_mxub,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, N_CHUNKS),
+            in_specs=[
+                pl.BlockSpec((1, HD, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, HD, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, HD, CS), lambda i, c, *_: (i, 0, c), memory_space=pltpu.VMEM),
+            ],
+            # out as [H, DH] (heads on sublanes) — reshaping to [HD, 1] inside
+            # the kernel is an unsupported lane->sublane relayout; the caller's
+            # [B, H, DH] -> [B, HD, 1] reshape is free (contiguous)
+            out_specs=pl.BlockSpec((1, H, DH), lambda i, c, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, 1), jnp.float32), pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, DH), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, DH), jnp.float32),
+    )
+
+    def mxub_call(lim, q, kk, vv):
+        return mxub_inner(lim, q, kk, vv).reshape(B, HD, 1)
+
     def kernel_vpu8(lim, q_ref, k_ref, v_ref, sk_ref, sv_ref, o_ref, m_sc, l_sc, acc):
         ci = pl.program_id(1)
 
@@ -258,6 +363,7 @@ def main():
         "mxu": make_pallas(kernel_mxu, [
             pltpu.VMEM((H, 1), jnp.float32), pltpu.VMEM((H, 1), jnp.float32),
             pltpu.VMEM((HD, 1), jnp.float32)]),
+        "mxub": mxub_call,
     }
     ones = jnp.ones((S_PAD, int(os.environ.get("N", "128"))), jnp.bfloat16)
 
@@ -383,7 +489,7 @@ def main():
 
     whole = {"flat": flat_reduce, "gemv": gemv_read, "copy": copy_scale,
              "flatread": flatread, "gemv2d": gemv2d, "vpu8": vpu8,
-             "w8mm": w8mm, "wbfmm": wbfmm}
+             "w8mm": w8mm, "wbfmm": wbfmm, "read1": read1}
 
     sel = os.environ.get("VARIANTS", "read,vpu,mxu").split(",")
     for name in sel:

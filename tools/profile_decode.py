@@ -64,7 +64,8 @@ def main():
     from whisper_tpu.tools.synthetic import make_synthetic_params
 
     KV_INT8 = os.environ.get("KV_INT8", "0") == "1"
-    params = make_synthetic_params(dims, bf)
+    W_INT8 = os.environ.get("W_INT8", "0") == "1"
+    params = make_synthetic_params(dims, bf, weights_int8=W_INT8)
     jax.block_until_ready(params)
     key = jax.random.PRNGKey(1)
     kv0 = init_self_kv(dims, B, bf, quant=KV_INT8)
@@ -251,14 +252,14 @@ def main():
         # while-loop aliasing — traffic is the new columns, not the cache)
         def step(i, kv):
             def layer(carry, li):
-                kk, vv = carry
-                kk = _cache_write(kk, li, k_new, i)
-                vv = _cache_write(vv, li, k_new, i)
-                return (kk, vv), None
+                def wr(c):
+                    return _cache_write(
+                        c, li, k_new[..., : c.shape[2]].astype(c.dtype), i)
 
-            (nk, nv), _ = jax.lax.scan(
-                layer, (kv.k, kv.v), jnp.arange(L, dtype=jnp.int32))
-            return SelfKV(nk, nv)
+                return jax.tree_util.tree_map(wr, carry), None
+
+            nkv, _ = jax.lax.scan(layer, kv, jnp.arange(L, dtype=jnp.int32))
+            return nkv
 
         return jax.lax.fori_loop(0, STEPS, step, kv)
 

@@ -91,7 +91,8 @@ def _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels)
     with per-column scales xk_s/xv_s [B, 1, Sx]).
     h: normalized input [B, S, d]. Returns [B, S, d] f32 context."""
     b, s, d = h.shape
-    q = dense(h, blk["xq_w"], blk["xq_b"]).astype(compute_dtype)  # [B, S, HD]
+    q = dense(h, blk["xq_w"], blk["xq_b"],
+              s=blk.get("xq_w_s")).astype(compute_dtype)          # [B, S, HD]
     use_kernel = (
         s == 1 and kernels is not None and kernels.flash_attention
     )
@@ -171,7 +172,8 @@ def _decoder_block(x, blk, kv: SelfKV, li, write_pos, attn_start, xk, xv,
 
     # --- masked self-attention with in-place KV column write ---
     h = layer_norm(x, blk["attn_ln_w"], blk["attn_ln_b"]).astype(compute_dtype)
-    q, k_new, v_new = qkv_proj(h, blk["qkv_w"], blk["qkv_b"], n_head)
+    q, k_new, v_new = qkv_proj(h, blk["qkv_w"], blk["qkv_b"], n_head,
+                               qkv_s=blk.get("qkv_w_s"))
     q = q.astype(compute_dtype)
     k_new = k_new.reshape(b, s, d)
     v_new = v_new.reshape(b, s, d)
@@ -196,17 +198,19 @@ def _decoder_block(x, blk, kv: SelfKV, li, write_pos, attn_start, xk, xv,
                     if a is not None else None)
     att = _self_attention(q, sl(kv.k), sl(kv.v), sl(kv.k_s), sl(kv.v_s),
                           write_pos, attn_start, n_head, compute_dtype, kernels)
-    x = x + dense(att.astype(compute_dtype), blk["o_w"], blk["o_b"]).astype(compute_dtype)
+    x = x + dense(att.astype(compute_dtype), blk["o_w"], blk["o_b"],
+                  s=blk.get("o_w_s")).astype(compute_dtype)
 
     # --- cross-attention over precomputed (pre-scaled, transposed) kvCross ---
     h = layer_norm(x, blk["x_ln_w"], blk["x_ln_b"]).astype(compute_dtype)
     att = _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels)
-    x = x + dense(att.astype(compute_dtype), blk["xo_w"], blk["xo_b"]).astype(compute_dtype)
+    x = x + dense(att.astype(compute_dtype), blk["xo_w"], blk["xo_b"],
+                  s=blk.get("xo_w_s")).astype(compute_dtype)
 
     # --- MLP ---
     h = layer_norm(x, blk["mlp_ln_w"], blk["mlp_ln_b"]).astype(compute_dtype)
-    h = gelu(dense(h, blk["fc1_w"], blk["fc1_b"])).astype(compute_dtype)
-    x = x + dense(h, blk["fc2_w"], blk["fc2_b"]).astype(compute_dtype)
+    h = gelu(dense(h, blk["fc1_w"], blk["fc1_b"], s=blk.get("fc1_w_s"))).astype(compute_dtype)
+    x = x + dense(h, blk["fc2_w"], blk["fc2_b"], s=blk.get("fc2_w_s")).astype(compute_dtype)
     return x, kv
 
 
@@ -248,7 +252,10 @@ def decode_step(
     pos_idx = jnp.clip(
         pos0[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :], 0, n_ctx - 1
     )                                                       # [B, S]
-    x = (dec["tok"][tokens] + dec["pos"][pos_idx]).astype(compute_dtype)
+    emb = dec["tok"][tokens]
+    if "tok_s" in dec:                # int8 embedding: dequant gathered rows
+        emb = emb.astype(jnp.float32) * dec["tok_s"][tokens]
+    x = (emb + dec["pos"][pos_idx]).astype(compute_dtype)
 
     def body(carry, layer):
         x, kv = carry
@@ -278,4 +285,6 @@ def decode_step(
         dec["tok"].T.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
+    if "tok_s" in dec:          # int8 logits: per-vocab-row scale epilogue
+        logits = logits * jnp.moveaxis(dec["tok_s"], 0, -1)
     return logits, new_kv

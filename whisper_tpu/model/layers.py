@@ -25,9 +25,23 @@ def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float = 1e-5) -> j
     return y * w + b
 
 
-def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    """x @ w (+ b), f32 accumulation, result in f32."""
+def dense(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    s: jax.Array | None = None,
+) -> jax.Array:
+    """x @ w (+ b), f32 accumulation, result in f32.
+
+    ``s`` dequantizes int8 weights as a matmul epilogue: one f32 scale per
+    output column (params.quantize_weight), applied BEFORE the bias. XLA
+    fuses the int8->bf16 operand convert into the dot's weight stream, so
+    HBM reads stay at 1 byte/weight."""
+    if s is not None:
+        w = w.astype(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if s is not None:
+        y = y * s
     if b is not None:
         y = y + b
     return y
@@ -60,10 +74,11 @@ def qk_scale(head_dim: int) -> float:
     return float(head_dim) ** -0.25
 
 
-def qkv_proj(h: jax.Array, qkv_w: jax.Array, qkv_b: jax.Array, n_head: int):
+def qkv_proj(h: jax.Array, qkv_w: jax.Array, qkv_b: jax.Array, n_head: int,
+             qkv_s: jax.Array | None = None):
     """Fused head-major QKV projection: h [B,S,d] -> (q, k, v) each
     [B,S,H,Dh]. Column layout per params.fuse_qkv; scales pre-folded."""
-    y = dense(h, qkv_w, qkv_b)                       # [B, S, 3d] f32
+    y = dense(h, qkv_w, qkv_b, s=qkv_s)              # [B, S, 3d] f32
     b, s, _ = y.shape
     y = y.reshape(b, s, n_head, 3, -1)
     return y[:, :, :, 0], y[:, :, :, 1], y[:, :, :, 2]

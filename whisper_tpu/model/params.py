@@ -34,15 +34,27 @@ Params = dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class DtypePolicy:
     """bf16 storage + f32 accumulation is the TPU analogue of the
-    reference's FP16 storage + FP32 shader math (SURVEY.md §7)."""
+    reference's FP16 storage + FP32 shader math (SURVEY.md §7).
+
+    ``weights_int8`` additionally stores the DECODER matmul weights (and the
+    token embedding) as int8 with one f32 scale per output column — decode is
+    weight-stream-bound at small batch, so halving weight bytes attacks the
+    dominant HBM stream (BASELINE.md bottleneck analysis). The encoder stays
+    bf16: it is MXU-bound, not weight-bound."""
 
     param_dtype: Any = jnp.bfloat16
     compute_dtype: Any = jnp.bfloat16
     norm_dtype: Any = jnp.float32
+    weights_int8: bool = False
 
     @staticmethod
     def f32() -> "DtypePolicy":
         return DtypePolicy(jnp.float32, jnp.float32, jnp.float32)
+
+    @staticmethod
+    def serving() -> "DtypePolicy":
+        """Throughput tier: bf16 activations, int8 decoder weights."""
+        return DtypePolicy(weights_int8=True)
 
 
 def _get(tensors: dict[str, RawTensor], name: str, shape: tuple[int, ...]) -> np.ndarray:
@@ -161,6 +173,39 @@ _BIAS_KEYS = frozenset(
 )
 
 
+# decoder matmul weights eligible for int8 storage ([L, in, out] stacked);
+# xk_w/xv_w are excluded: they run once per 30 s window (cross-KV precompute)
+# and their output IS the (already separately quantizable) cross cache.
+_QUANT_KEYS = frozenset("qkv_w o_w xq_w xo_w fc1_w fc2_w".split())
+
+
+def quantize_weight(w: np.ndarray, axis: int) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-output-column int8: one f32 scale per slice along
+    ``axis`` (the contraction axis). Returns (int8 w, f32 scale) with the
+    scale keeping a size-1 dim at ``axis`` so it broadcasts over the matmul
+    output."""
+    amax = np.abs(w).max(axis=axis, keepdims=True)
+    scale = np.maximum(amax, 1e-8).astype(np.float32) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def quantize_decoder_weights(dec: Params) -> Params:
+    """int8-quantize a (host, f32 numpy) decoder subtree in place:
+    each eligible weight W[..., in, out] becomes int8 plus ``<key>_s``
+    f32 [..., 1, out]; the token embedding [V, d] gets per-ROW scales
+    ``tok_s`` [V, 1] (its contraction axis in the logits matmul is d)."""
+    blocks = dec["blocks"]
+    for key in sorted(_QUANT_KEYS & set(blocks)):
+        q, s = quantize_weight(blocks[key], axis=1)
+        blocks[key] = q
+        blocks[key + "_s"] = s
+    q, s = quantize_weight(dec["tok"], axis=1)
+    dec["tok"] = q
+    dec["tok_s"] = s
+    return dec
+
+
 def params_from_checkpoint(
     cp: Checkpoint, policy: DtypePolicy = DtypePolicy(), device_put: bool = True
 ) -> Params:
@@ -190,9 +235,13 @@ def params_from_checkpoint(
             "blocks": _stack_blocks(t, "decoder", dims.n_text_layer, d, dims.n_text_head, cross=True),
         },
     }
+    if policy.weights_int8:
+        host["dec"] = quantize_decoder_weights(host["dec"])
 
     def cast(path, leaf):
         key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if leaf.dtype == np.int8 or key.endswith("_s"):
+            return jnp.asarray(leaf)  # int8 weights / f32 scales: keep as-is
         if key in _NORM_KEYS or key in _BIAS_KEYS:
             dt = policy.norm_dtype
         else:

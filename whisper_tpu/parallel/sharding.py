@@ -39,10 +39,20 @@ _BLOCK_RULES = {
     "fc1_b": P(None, MODEL_AXIS),
     "fc2_w": P(None, MODEL_AXIS, None),
     "fc2_b": P(None),
+    # int8-weight scales [L, 1, out] follow their weight's OUTPUT-dim shard
+    # (params.quantize_decoder_weights); in-dim-sharded weights (o/xo/fc2)
+    # have replicated per-output scales
+    "qkv_w_s": P(None, None, MODEL_AXIS),
+    "xq_w_s": P(None, None, MODEL_AXIS),
+    "fc1_w_s": P(None, None, MODEL_AXIS),
+    "o_w_s": P(None),
+    "xo_w_s": P(None),
+    "fc2_w_s": P(None),
 }
 
 _TOP_RULES = {
     "tok": P(MODEL_AXIS, None),  # vocab-sharded logits matmul
+    "tok_s": P(MODEL_AXIS, None),  # per-vocab-row int8 scales follow tok
 }
 
 

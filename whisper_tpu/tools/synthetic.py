@@ -14,9 +14,12 @@ from whisper_tpu.hparams import KNOWN_MODELS, ModelDims
 
 
 def make_synthetic_params(
-    dims: ModelDims, param_dtype=jnp.bfloat16, norm_dtype=jnp.float32, seed: int = 0
+    dims: ModelDims, param_dtype=jnp.bfloat16, norm_dtype=jnp.float32,
+    seed: int = 0, weights_int8: bool = False,
 ):
-    """Random params with the exact pytree structure of params_from_checkpoint."""
+    """Random params with the exact pytree structure of params_from_checkpoint.
+    ``weights_int8`` mirrors DtypePolicy.serving(): int8 decoder matmul
+    weights + per-output-column f32 scales, quantized ON DEVICE."""
     d = dims.n_audio_state
     key = jax.random.PRNGKey(seed)
     counter = [0]
@@ -54,7 +57,7 @@ def make_synthetic_params(
         )
         return b
 
-    return {
+    params = {
         "enc": {
             "pos": nrm((dims.n_audio_ctx, d), param_dtype, 0.02),
             "conv1_w": nrm((3, dims.n_mels, d), param_dtype),
@@ -71,6 +74,23 @@ def make_synthetic_params(
             "blocks": dec_blocks(dims.n_text_layer),
         },
     }
+    if weights_int8:
+        from whisper_tpu.model.params import _QUANT_KEYS
+
+        @jax.jit
+        def _q(w):
+            w = w.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+            sc = jnp.maximum(amax, 1e-8) / 127.0
+            return jnp.clip(jnp.round(w / sc), -127, 127).astype(jnp.int8), sc
+
+        blocks = params["dec"]["blocks"]
+        for key in sorted(_QUANT_KEYS & set(blocks)):
+            blocks[key], blocks[key + "_s"] = _q(blocks[key])
+        tok8, tok_s = _q(params["dec"]["tok"].T)
+        params["dec"]["tok"] = tok8.T
+        params["dec"]["tok_s"] = tok_s.T
+    return params
 
 
 def dims_for(name: str) -> ModelDims:
