@@ -1,4 +1,4 @@
-"""Benchmark: audio-seconds transcribed per second per chip (RTF).
+"""Benchmark: audio-seconds transcribed per second per chip.
 
 Runs the full pipeline (mel -> encode -> on-device window decode) on the
 real TPU with synthetic large-v2-sized weights (no pretrained checkpoints in
@@ -6,8 +6,20 @@ this image) and a deterministic decode workload of DECODE_TOKENS tokens per
 30 s window (``force_steps`` — random weights would otherwise make the
 token count nondeterministic).
 
+Primary metric (BASELINE.json's): BATCHED audio_s/s/chip at BENCH_BATCH
+utterance lanes — the serving-throughput number. Single-stream RTF is
+reported alongside on stderr.
+
+Tier: the SERVING config by default (Pallas decode kernels + int8 KV caches
++ int8 decoder weights — token parity vs the bf16 reference path is covered
+by tests/test_kernels.py::test_decode_window_int8_kv_matches_reference_tokens
+and tests/test_quant_weights.py). ``BENCH_KERNELS=auto|reference`` selects
+the bf16 tiers instead. The resolved kernel config and dtype policy are
+ALWAYS logged so the measured path is never ambiguous (round-2 lesson:
+a platform-name check silently disabled Pallas on the bench chip).
+
 Prints ONE JSON line:
-  {"metric": ..., "value": RTF, "unit": "audio_s/s", "vs_baseline": ...}
+  {"metric": ..., "value": N, "unit": "audio_s/s", "vs_baseline": N}
 
 Baseline: the reference's best published large-model RTF, 7.22 on a GTX
 1080 Ti (columbia.wma, SampleClips/summary.tsv:14; BASELINE.md). Target from
@@ -26,7 +38,8 @@ import numpy as np
 MODEL = os.environ.get("BENCH_MODEL", "large-v2")
 DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "4"))
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # secondary throughput metric
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # primary-metric lane count
+TIER = os.environ.get("BENCH_KERNELS", "serving")
 BASELINE_RTF = 7.22  # reference large on 1080 Ti
 
 
@@ -38,6 +51,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from whisper_tpu.config import KernelConfig
     from whisper_tpu.features import LogMelSpectrogram, mel_filter_bank
     from whisper_tpu.hparams import KNOWN_MODELS, N_FRAMES
     from whisper_tpu.runtime.context import WhisperRuntime
@@ -45,19 +59,35 @@ def main():
     from whisper_tpu.tools.synthetic import make_synthetic_params
 
     dims = KNOWN_MODELS[MODEL]
-    log(f"bench model={MODEL} devices={jax.devices()}")
+    d0 = jax.devices()[0]
+    log(
+        f"bench model={MODEL} devices={jax.devices()} "
+        f"platform={d0.platform} kind={getattr(d0, 'device_kind', '?')} "
+        f"default_backend={jax.default_backend()}"
+    )
+
+    kernels = {
+        "serving": KernelConfig.serving,
+        "auto": KernelConfig.auto,
+        "reference": KernelConfig.reference,
+    }[TIER]()
+    weights_int8 = TIER == "serving" and kernels.flash_attention
+    log(
+        f"tier={TIER} kernels={kernels.describe()} "
+        f"dtype_policy={'serving(int8 decoder weights)' if weights_int8 else 'bf16'}"
+    )
 
     t0 = time.perf_counter()
-    params = make_synthetic_params(dims, jnp.bfloat16)
+    params = make_synthetic_params(dims, jnp.bfloat16, weights_int8=weights_int8)
     jax.block_until_ready(params)
     log(f"params built on device in {time.perf_counter()-t0:.1f}s")
 
-    shift = 1 if dims.n_vocab == 51_865 else 0
+    shift = 1 if dims.n_vocab >= 51_865 else 0
     ids = SpecialIds(
         eot=50_256 + shift, sot=50_257 + shift, prev=50_360 + shift,
         solm=50_361 + shift, not_=50_362 + shift, beg=50_363 + shift,
     )
-    rt = WhisperRuntime(params, dims, ids, compute_dtype=jnp.bfloat16)
+    rt = WhisperRuntime(params, dims, ids, compute_dtype=jnp.bfloat16, kernels=kernels)
 
     # synthetic audio: WINDOWS x 30 s
     audio_s = 30 * WINDOWS
@@ -101,9 +131,10 @@ def main():
         total = time.perf_counter() - t_mel
         if measure:
             log(
-                f"windows={windows} mel={total-t_enc-t_dec:.2f}s "
+                f"single-stream: windows={windows} mel={total-t_enc-t_dec:.2f}s "
                 f"encode={t_enc:.2f}s decode={t_dec:.2f}s total={total:.2f}s "
-                f"({DECODE_TOKENS} tok/window)"
+                f"({DECODE_TOKENS} tok/window, "
+                f"{t_dec*1e3/(windows*DECODE_TOKENS):.2f} ms/token-step)"
             )
         return total
 
@@ -113,39 +144,42 @@ def main():
     log(f"warmup done in {time.perf_counter()-t0:.1f}s")
 
     best = min(run_once(measure=True) for _ in range(2))
-    rtf = audio_s / best
+    rtf_single = audio_s / best
+    log(f"single-stream RTF: {rtf_single:.1f} audio_s/s (x{rtf_single/BASELINE_RTF:.2f} baseline)")
 
-    if BATCH > 1:
-        # secondary: batched throughput (N windows per dispatch)
-        bp = np.tile(padded, (BATCH, 1))
-        bl = np.tile(plen, BATCH)
-        bseek = np.zeros((BATCH,), np.int32)
-        bend = np.full((BATCH,), 10**7, np.int32)
+    # primary: batched serving throughput (BATCH 30 s windows per dispatch,
+    # mel on host overlapped-free — counted in the round time)
+    bp = np.tile(padded, (BATCH, 1))
+    bl = np.tile(plen, BATCH)
+    bseek = np.zeros((BATCH,), np.int32)
+    bend = np.full((BATCH,), 10**7, np.int32)
+
+    def batched_round():
         mel = np.asarray(mel_engine(audio[: 16_000 * 30]))
         mel_b = np.tile(mel[None, :, :N_FRAMES], (BATCH, 1, 1))
+        _, cross = rt.encode_window(mel_b)
+        res = rt.run_window(bp, bl, cross, bseek, bend, force_steps=DECODE_TOKENS)
+        jax.block_until_ready(res.tokens)
 
-        def batched_round():
-            _, cross = rt.encode_window(mel_b)
-            res = rt.run_window(bp, bl, cross, bseek, bend, force_steps=DECODE_TOKENS)
-            jax.block_until_ready(res.tokens)
-
-        batched_round()  # compile
-        t1 = time.perf_counter()
-        rounds = 3
-        for _ in range(rounds):
-            batched_round()
-        dt = (time.perf_counter() - t1) / rounds
-        log(
-            f"batched throughput: batch={BATCH}, {30*BATCH/dt:.1f} audio_s/s "
-            f"({dt*1e3:.0f} ms/round, {dt*1e3/DECODE_TOKENS:.2f} ms/token-step)"
-        )
+    batched_round()  # compile
+    t1 = time.perf_counter()
+    rounds = 3
+    for _ in range(rounds):
+        batched_round()
+    dt = (time.perf_counter() - t1) / rounds
+    rtf_batched = 30 * BATCH / dt
+    log(
+        f"batched throughput: batch={BATCH}, {rtf_batched:.1f} audio_s/s "
+        f"({dt*1e3:.0f} ms/round, {dt*1e3/DECODE_TOKENS:.2f} ms/token-step)"
+    )
     print(
         json.dumps(
             {
-                "metric": f"rtf_{MODEL.replace('-', '_')}_synthetic_{DECODE_TOKENS}tok",
-                "value": round(rtf, 3),
+                "metric": f"batched_b{BATCH}_{MODEL.replace('-', '_')}_{TIER}_{DECODE_TOKENS}tok",
+                "value": round(rtf_batched, 3),
                 "unit": "audio_s/s",
-                "vs_baseline": round(rtf / BASELINE_RTF, 3),
+                "vs_baseline": round(rtf_batched / BASELINE_RTF, 3),
+                "single_stream_rtf": round(rtf_single, 3),
             }
         )
     )

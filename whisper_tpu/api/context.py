@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import numpy as np
 
 from whisper_tpu.api.params import Flags, FullParams, SamplingStrategy, full_default_params
@@ -257,6 +258,10 @@ class Context:
 
             with self.profiler.cpu("encode"):
                 _, cross_kv = self.runtime.encode_window(mel_win[None])
+                # jit returns before the device finishes; without this sync
+                # the encode cost would be billed to the decode block when
+                # np.asarray forces the value (async-dispatch attribution)
+                jax.block_until_ready(cross_kv)
 
             prompt = self._build_prompt(params, prompt_init)
             padded = np.zeros((1, cap), np.int32)

@@ -70,7 +70,9 @@ def _kernel(lo, hi, q_ref, k_ref, v_ref, sk_ref, sv_ref, o_ref,
         keep = (col >= lo) & (col < hi)
     else:
         keep = col < s_real
-    scores = jnp.where(keep, scores, -jnp.inf)
+    # -1e30 (not -inf): a fully-masked chunk would otherwise leave the
+    # running max at -inf and alpha = exp(-inf - -inf) = NaN
+    scores = jnp.where(keep, scores, jnp.float32(-1e30))
 
     m_run = m_sc[...]
     m_new = jnp.maximum(m_run, jnp.max(scores, axis=-1, keepdims=True))
@@ -92,16 +94,17 @@ def _kernel(lo, hi, q_ref, k_ref, v_ref, sk_ref, sv_ref, o_ref,
         o_ref[0] = (acc_sc[...] / lb).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_head", "kv_group", "interpret"))
 def decode_attention_hd(
     q: jax.Array,                   # [B, H*Dh, 1]  (pre-scaled)
-    k_t: jax.Array,                 # [B, H*Dh, S]  (pre-scaled, head-major rows)
-    v_t: jax.Array,                 # [B, H*Dh, S]
+    k_t: jax.Array,                 # [B/G, H*Dh, S]  (pre-scaled, head-major rows)
+    v_t: jax.Array,                 # [B/G, H*Dh, S]
     n_head: int,
     valid_len: jax.Array | None = None,  # [B] int32: keys < valid_len attended
     start: jax.Array | None = None,      # [B] int32: keys >= start attended
-    k_scale: jax.Array | None = None,    # [B, 1, S] f32: int8 K column scales
-    v_scale: jax.Array | None = None,    # [B, 1, S] f32: int8 V column scales
+    k_scale: jax.Array | None = None,    # [B/G, 1, S] f32: int8 K column scales
+    v_scale: jax.Array | None = None,    # [B/G, 1, S] f32: int8 V column scales
+    kv_group: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-query attention in flat head-major layout -> [B, H*Dh, 1] f32.
@@ -111,8 +114,15 @@ def decode_attention_hd(
     ``start``/``valid_len`` bound the attended key interval per lane — the
     left-padded-prompt cache keeps garbage in columns < start.
     ``k_scale``/``v_scale`` dequantize int8 K/V per column inside the kernel
-    (kernels/quant.py) — folded into scores / softmax weights."""
-    b, hd, s = k_t.shape
+    (kernels/quant.py) — folded into scores / softmax weights.
+
+    ``kv_group``: G consecutive query lanes SHARE one K/V lane (beam-search
+    cross-attention: beams of an utterance read the same kvCross) — the
+    BlockSpec index map points lane i at K/V row i // G, so no [B]-wide
+    broadcast copy of the cache is ever materialized in HBM."""
+    b = q.shape[0]
+    _, hd, s = k_t.shape
+    assert b == k_t.shape[0] * kv_group, (b, k_t.shape, kv_group)
     dh = hd // n_head
     chunk = _CHUNK8 if k_t.dtype == jnp.int8 else _CHUNK
     # pad so the kernel's S-chunk loop divides evenly
@@ -136,9 +146,10 @@ def decode_attention_hd(
     cs = min(chunk, s_pad)
     n_chunks = s_pad // cs
 
-    kv_spec = pl.BlockSpec((1, hd, cs), lambda i, c, *_: (i, 0, c),
+    g = kv_group
+    kv_spec = pl.BlockSpec((1, hd, cs), lambda i, c, *_: (i // g, 0, c),
                            memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, 1, cs), lambda i, c, *_: (i, 0, c),
+    sc_spec = pl.BlockSpec((1, 1, cs), lambda i, c, *_: (i // g, 0, c),
                            memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, hd, 1), lambda i, c, *_: (i, 0, 0), memory_space=pltpu.VMEM),

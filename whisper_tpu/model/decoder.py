@@ -86,9 +86,12 @@ def _cache_write(cache: jax.Array, li, new: jax.Array, col) -> jax.Array:
     )
 
 
-def _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels):
-    """Cross-attention over transposed kvCross [B, HD, Sx] (optionally int8
-    with per-column scales xk_s/xv_s [B, 1, Sx]).
+def _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels,
+                     cross_group: int = 1):
+    """Cross-attention over transposed kvCross [B/G, HD, Sx] (optionally int8
+    with per-column scales xk_s/xv_s [B/G, 1, Sx]).
+    ``cross_group`` G consecutive query lanes share one kvCross lane (beam
+    search: one encoded window per utterance, beams ride the batch axis).
     h: normalized input [B, S, d]. Returns [B, S, d] f32 context."""
     b, s, d = h.shape
     q = dense(h, blk["xq_w"], blk["xq_b"],
@@ -101,7 +104,8 @@ def _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels)
 
         out = decode_attention_hd(
             q.transpose(0, 2, 1), xk, xv, n_head,
-            k_scale=xk_s, v_scale=xv_s, interpret=kernels.interpret
+            k_scale=xk_s, v_scale=xv_s, kv_group=cross_group,
+            interpret=kernels.interpret,
         )                                                      # [B, HD, 1]
         return out.transpose(0, 2, 1)                          # [B, 1, HD] f32
     # einsum path (prompt ingest / reference numerics)
@@ -112,9 +116,12 @@ def _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels)
         xv = dequantize(xv, xv_s, compute_dtype)
     dh = d // n_head
     sx = xk.shape[-1]
-    q4 = q.reshape(b, s, n_head, dh)
-    k4 = xk.reshape(b, n_head, dh, sx)
-    v4 = xv.reshape(b, n_head, dh, sx)
+    u = b // cross_group
+    # grouped lanes fold into the (row) position axis: cross-attention has no
+    # positional mask, so beams and positions are interchangeable rows
+    q4 = q.reshape(u, cross_group * s, n_head, dh)
+    k4 = xk.reshape(u, n_head, dh, sx)
+    v4 = xv.reshape(u, n_head, dh, sx)
     scores = jnp.einsum("bthd,bhds->bhts", q4, k4, preferred_element_type=jnp.float32)
     p = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
     out = jnp.einsum("bhts,bhds->bthd", p, v4, preferred_element_type=jnp.float32)
@@ -162,10 +169,12 @@ def _self_attention(q, k_cache, v_cache, k_s, v_s, write_pos, attn_start,
 
 
 def _decoder_block(x, blk, kv: SelfKV, li, write_pos, attn_start, xk, xv,
-                   xk_s, xv_s, n_head, compute_dtype, kernels=None):
+                   xk_s, xv_s, n_head, compute_dtype, kernels=None,
+                   cross_group: int = 1):
     """One decoder block operating on the FULL stacked cache.
     x [B,S,d]; kv holds [L,B,HD,C] caches (+ scales when int8); li scalar
-    layer index; xk/xv [B,HD,Sx] (transposed, + optional scales [B,1,Sx]).
+    layer index; xk/xv [B/G,HD,Sx] (transposed, + optional scales [B/G,1,Sx],
+    shared across ``cross_group`` consecutive lanes).
     Returns (x, kv)."""
     b, s, d = x.shape
     quant = kv.k_s is not None
@@ -203,7 +212,8 @@ def _decoder_block(x, blk, kv: SelfKV, li, write_pos, attn_start, xk, xv,
 
     # --- cross-attention over precomputed (pre-scaled, transposed) kvCross ---
     h = layer_norm(x, blk["x_ln_w"], blk["x_ln_b"]).astype(compute_dtype)
-    att = _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype, kernels)
+    att = _cross_attention(h, blk, xk, xv, xk_s, xv_s, n_head, compute_dtype,
+                           kernels, cross_group)
     x = x + dense(att.astype(compute_dtype), blk["xo_w"], blk["xo_b"],
                   s=blk.get("xo_w_s")).astype(compute_dtype)
 
@@ -227,12 +237,15 @@ def decode_step(
     last_only: bool = True,   # logits only for the final row (left-aligned
                               # prompts put every lane's last real token there)
     kernels=None,
+    cross_group: int = 1,     # G query lanes share one cross_kv lane (beams)
 ):
     """Run the decoder on S tokens at cache columns write_pos..write_pos+S-1.
 
     ``pos0`` is the real (unpadded) position used for positional embeddings;
     for a left-padded prompt of true length n in a [B, P] buffer it is n - P
     (pad rows clamp to position 0 — their outputs are masked garbage).
+    ``cross_group``: cross_kv carries B/cross_group lanes, each shared by
+    ``cross_group`` consecutive batch lanes (beam search).
     Returns (logits, new_self_kv): logits [B, n_vocab] f32 when ``last_only``,
     else [B, S, n_vocab].
     """
@@ -266,7 +279,7 @@ def decode_step(
             xks = xvs = None
         x, kv = _decoder_block(
             x, blk, kv, li, write_pos, attn_start, xk, xv, xks, xvs,
-            dims.n_text_head, compute_dtype, kernels,
+            dims.n_text_head, compute_dtype, kernels, cross_group,
         )
         return (x, kv), None
 

@@ -11,6 +11,13 @@ Scheduling: each utterance owns a Context (prompt carry-over, segments);
 every round, up to ``batch`` non-finished utterances contribute their next
 window; finished lanes are refilled from the queue; short rounds pad with
 dead lanes (seek >= seek_end keeps their output discarded).
+
+Feature parity with Context.run_full (no silent behavior differences):
+SPEEDUP_AUDIO compresses each lane's PCM before mel; TOKEN_TIMESTAMPS
+computes per-lane signal energy; progress callbacks fire per round with
+each utterance's own progress. Beam search (strategy=BEAM_SEARCH) composes
+with batching: utterances' beams ride [batch*beam] lanes of one decode
+(runtime/beam.py).
 """
 
 from __future__ import annotations
@@ -20,7 +27,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from whisper_tpu.api.params import Flags, FullParams, full_default_params
+from whisper_tpu.api.params import Flags, FullParams, SamplingStrategy, full_default_params
 from whisper_tpu.api.result import TranscribeResult
 from whisper_tpu.hparams import N_FRAMES
 
@@ -31,6 +38,7 @@ class _Lane:
     mel: np.ndarray           # zero-padded [n_mels, n_len + window]
     n_len: int
     seek: int
+    seek_start: int
     seek_end: int
     prompt_init: list
     done: bool = False
@@ -48,12 +56,13 @@ class BatchTranscriber:
     ) -> list[TranscribeResult]:
         params = params or full_default_params()
         single_segment = params.flag(Flags.SINGLE_SEGMENT)
+        beam_search = params.strategy == SamplingStrategy.BEAM_SEARCH
         rt = self.model.runtime
         dims = rt.dims
         window = 2 * (params.audio_ctx or dims.n_audio_ctx)
         cap = rt.prompt_capacity
 
-        # build lanes
+        # build lanes — mirror Context.run_full's per-clip preprocessing
         pending: list[_Lane] = []
         results: list[Optional[TranscribeResult]] = [None] * len(clips)
         lanes_by_idx: dict[int, _Lane] = {}
@@ -63,15 +72,29 @@ class BatchTranscriber:
             if mono.ndim == 2:
                 ctx._stereo = mono
                 mono = mono.mean(axis=0)
+            if params.flag(Flags.SPEEDUP_AUDIO):
+                from whisper_tpu.audio.load import speedup_2x
+
+                mono = speedup_2x(mono)
+                ctx._time_scale = 2
+            if params.flag(Flags.TOKEN_TIMESTAMPS):
+                from whisper_tpu.api.timestamps import compute_signal_energy
+
+                ctx._energy = compute_signal_energy(mono)
             mel = np.asarray(self.model.mel(mono))
             n_len = mel.shape[1]
+            ctx._mel_len = n_len
             mel_pad = np.zeros((mel.shape[0], n_len + window), mel.dtype)
             mel_pad[:, :n_len] = mel
             seek_start = params.offset_ms // 10
             seek_end = seek_start + (params.duration_ms // 10 if params.duration_ms else n_len)
+            if params.flag(Flags.NO_CONTEXT):
+                ctx.prompt_past = []
+            if params.prompt_tokens:
+                ctx.prompt_past = list(params.prompt_tokens) + ctx.prompt_past
             lane = _Lane(
                 ctx=ctx, mel=mel_pad, n_len=n_len, seek=seek_start,
-                seek_end=seek_end,
+                seek_start=seek_start, seek_end=seek_end,
                 prompt_init=ctx.build_prompt_init(params),
             )
             if seek_end < 100 + seek_start:
@@ -86,6 +109,14 @@ class BatchTranscriber:
             # refill active set
             while pending and len(active) < self.batch:
                 active.append(pending.pop(0))
+
+            if params.progress_callback:
+                # per-utterance progress, like run_full
+                for lane in active:
+                    params.progress_callback(
+                        min(1.0, (lane.seek - lane.seek_start)
+                            / max(1, lane.seek_end - lane.seek_start))
+                    )
 
             # fixed batch width: dead pad lanes (seek_end=0) finish in one
             # step and are discarded — avoids a recompile per batch size
@@ -105,16 +136,24 @@ class BatchTranscriber:
                 ends[i] = lane.seek_end
 
             _, cross = rt.encode_window(mel_batch)
-            res = rt.run_window(
-                prompts, plens, cross, seeks, ends,
-                max_tokens=params.max_tokens, single_segment=single_segment,
-            )
+            if beam_search:
+                from whisper_tpu.runtime.beam import decode_window_beam
+
+                res = decode_window_beam(
+                    rt, params, prompts, plens, cross, seeks, ends)
+            else:
+                res = rt.run_window(
+                    prompts, plens, cross, seeks, ends,
+                    max_tokens=params.max_tokens, single_segment=single_segment,
+                )
             res = {k: np.asarray(v) for k, v in res._asdict().items()}
 
             for i, lane in enumerate(active):
                 lane.seek = lane.ctx.apply_window_result(params, res, lane.seek, lane=i)
                 if lane.seek + 100 >= lane.seek_end:
                     lane.done = True
+                    if params.progress_callback:
+                        params.progress_callback(1.0)
             active = [l for l in active if not l.done]
 
         # collect results in submission order

@@ -87,6 +87,13 @@ def decode_window(
     need a deterministic workload (tokens/window)."""
     b, p_max = prompt.shape
     n_max = dims.n_text_ctx // 2 - 4
+    # cache headroom: the last write lands at column p_max + n_max - 1; if it
+    # ever reached n_text_ctx, dynamic_update_slice would CLAMP the start and
+    # silently overwrite the final column instead of failing
+    assert p_max + n_max <= dims.n_text_ctx, (
+        f"prompt capacity {p_max} + max steps {n_max} exceeds cache "
+        f"length {dims.n_text_ctx}"
+    )
     chunk_frames = N_FRAMES  # 100 * WHISPER_CHUNK_SIZE
 
     # ---- prompt ingest: left-align the right-padded prompt so every lane's
