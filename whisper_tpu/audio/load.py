@@ -88,12 +88,26 @@ def _load_via_ffmpeg(path: str, stereo: bool) -> tuple[np.ndarray, int]:
     return data, SAMPLE_RATE
 
 
+def _load_via_native(path: str, stereo: bool) -> tuple[np.ndarray, int]:
+    """Native libavformat decoder (native/audio_decode.cpp); raises when the
+    compiled library is absent so the caller can try the ffmpeg binary."""
+    from whisper_tpu.audio import ffdecode
+
+    data = ffdecode.decode_file(path, SAMPLE_RATE, 2 if stereo else 1)
+    if data is None:
+        raise RuntimeError("libwhisper_audio.so not built")
+    return data, SAMPLE_RATE
+
+
 def load_audio_file(path: str, want_stereo: bool = False) -> AudioBuffer:
     """Decode any supported file to 16 kHz float32."""
     try:
         data, rate = _load_wav(path)
     except Exception:
-        data, rate = _load_via_ffmpeg(path, want_stereo)
+        try:
+            data, rate = _load_via_native(path, want_stereo)
+        except Exception:
+            data, rate = _load_via_ffmpeg(path, want_stereo)
 
     if data.ndim == 2:  # [N, C]
         stereo = None
